@@ -1,0 +1,8 @@
+"""Operators and jitted compute kernels (the TPU hot path)."""
+from .operators import (AbstractOperator, CallableOperator, DenseOperator,
+                        DiagonalOperator, SumOfProductOperator, as_operator)
+from . import linear_solvers
+
+__all__ = ["AbstractOperator", "CallableOperator", "DenseOperator",
+           "DiagonalOperator", "SumOfProductOperator", "as_operator",
+           "linear_solvers"]

@@ -1,0 +1,317 @@
+"""Jitted Krylov linear solvers for shifted systems (sigma*I - H) x = b.
+
+These replace the compiled SciPy solvers of the reference
+(minres/gcrotmk/spsolve, reference: numpyVector.py:161-171) with TPU-native
+implementations:
+
+* :func:`minres` — Hermitian (possibly indefinite) shifted solves; the default
+  solver, a ``lax.while_loop`` around the operator matvec so the whole solve
+  is one XLA computation (no host round-trips per iteration).
+* :func:`gmres` — restarted GMRES for general/complex shifts (the role of the
+  reference's ``gcrotmk``); each restart cycle is a fixed-shape Arnoldi
+  build (MXU-friendly (m, n) matmuls) followed by a small least-squares
+  solve.
+* :func:`solve_exact` — dense direct solve; the honest name for the
+  reference's ``"pardiso"`` option (which actually called SuperLU,
+  reference: numpyVector.py:164-171).  Kept for oracle tests (FEAST Fortran
+  golden data).
+
+All solvers are batchable: ``vmap`` over (sigma, b) turns FEAST's
+quadrature×subspace double loop (reference: feast.py:189-200) into one
+batched device computation.
+
+Stopping criterion: ||r|| <= max(rtol*||b||, atol).  The outer eigensolvers
+depend on *inexactness semantics* (loose inner tolerances), not on bitwise
+solver equality with SciPy (SURVEY.md §7 "hard parts"), so the criterion
+matches the reference's tolerance scale, not its internals.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .operators import AbstractOperator
+
+
+class SolveResult(NamedTuple):
+    x: jax.Array
+    resnorm: jax.Array      # final ||b - A x||
+    iterations: jax.Array   # matvec-level iteration count
+    converged: jax.Array    # bool
+
+
+def _shifted_matvec(op: AbstractOperator, sigma, gf_sign):
+    """A(x) = gf_sign * (sigma*x - H x);  gf_sign=+1 is the Green's function
+    (sigma - H), -1 the reverse (H - sigma) (reference: numpyVector.py:151-154)."""
+    def matvec(x):
+        return gf_sign * (sigma * x - op.matvec(x))
+    return matvec
+
+
+# ----------------------------------------------------------------------------
+# MINRES (Paige & Saunders) — Hermitian, possibly indefinite
+# ----------------------------------------------------------------------------
+def _minres_fixed(matvec, b, x0, rtol, atol, maxiter):
+    dtype = jnp.result_type(b.dtype, x0.dtype)
+    b = b.astype(dtype)
+    x0 = x0.astype(dtype)
+    rdtype = jnp.zeros((), dtype).real.dtype
+
+    r1 = b - matvec(x0)
+    beta1 = jnp.sqrt(jnp.real(jnp.vdot(r1, r1)))
+    tol_abs = jnp.maximum(rtol * jnp.sqrt(jnp.real(jnp.vdot(b, b))), atol)
+
+    zero_r = jnp.zeros((), rdtype)
+
+    init = dict(
+        x=x0, r1=r1, r2=r1, y=r1,
+        w=jnp.zeros_like(b), w2=jnp.zeros_like(b),
+        oldb=zero_r, beta=beta1, dbar=zero_r, epsln=zero_r,
+        phibar=beta1, cs=-jnp.ones((), rdtype), sn=zero_r,
+        itn=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c):
+        return (c["itn"] < maxiter) & (c["phibar"] > tol_abs) & (c["beta"] > 0)
+
+    def body(c):
+        itn = c["itn"] + 1
+        s = 1.0 / c["beta"]
+        v = s * c["y"]
+        y = matvec(v)
+        y = jnp.where(itn >= 2, 1.0, 0.0) * (-(c["beta"] / jnp.where(c["oldb"] > 0, c["oldb"], 1.0)) * c["r1"]) + y
+        alfa = jnp.real(jnp.vdot(v, y))
+        y = y - (alfa / c["beta"]) * c["r2"]
+        r1, r2 = c["r2"], y
+        oldb, beta = c["beta"], jnp.sqrt(jnp.real(jnp.vdot(y, y)))
+
+        # Plane rotations (QR of the tridiagonal)
+        oldeps = c["epsln"]
+        delta = c["cs"] * c["dbar"] + c["sn"] * alfa
+        gbar = c["sn"] * c["dbar"] - c["cs"] * alfa
+        epsln = c["sn"] * beta
+        dbar = -c["cs"] * beta
+        gamma = jnp.sqrt(gbar * gbar + beta * beta)
+        gamma = jnp.maximum(gamma, jnp.finfo(rdtype).eps)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * c["phibar"]
+        phibar = sn * c["phibar"]
+
+        w1 = c["w2"]
+        w2 = c["w"]
+        w = (v - oldeps * w1 - delta * w2) / gamma
+        x = c["x"] + phi * w
+        return dict(x=x, r1=r1, r2=r2, y=y, w=w, w2=w2, oldb=oldb, beta=beta,
+                    dbar=dbar, epsln=epsln, phibar=phibar, cs=cs, sn=sn, itn=itn)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SolveResult(out["x"], out["phibar"], out["itn"],
+                       out["phibar"] <= tol_abs)
+
+
+# ----------------------------------------------------------------------------
+# tiny dense helpers — hand-rolled so they compile for ANY dtype on TPU
+# (XLA's LuDecomposition/Cholesky custom calls only cover f32/c64 on TPU;
+# these are O(m^3) fori_loops on m ≲ 64 systems, negligible cost)
+# ----------------------------------------------------------------------------
+def _cholesky_small(A):
+    """Lower-triangular Cholesky factor of a small HPD matrix."""
+    m = A.shape[0]
+    idx = jnp.arange(m)
+
+    def col(j, L):
+        rowj = jnp.where(idx < j, L[j, :], 0)
+        d = jnp.sqrt(jnp.maximum(jnp.real(A[j, j] - jnp.vdot(rowj, rowj)),
+                                 jnp.finfo(jnp.zeros((), A.dtype).real.dtype).tiny))
+        c = (A[:, j] - (L * (idx < j)[None, :]) @ rowj.conj()) / d
+        L = L.at[:, j].set(jnp.where(idx > j, c, 0))
+        L = L.at[j, j].set(d)
+        return L
+
+    return jax.lax.fori_loop(0, m, col, jnp.zeros_like(A))
+
+
+def _solve_tri_lower_small(L, b):
+    m = L.shape[0]
+    idx = jnp.arange(m)
+
+    def body(i, y):
+        s = b[i] - jnp.dot(jnp.where(idx < i, L[i, :], 0), y)
+        return y.at[i].set(s / L[i, i])
+
+    return jax.lax.fori_loop(0, m, body, jnp.zeros_like(b))
+
+
+def _solve_tri_upper_small(U, b):
+    m = U.shape[0]
+    idx = jnp.arange(m)
+
+    def body(k, x):
+        i = m - 1 - k
+        s = b[i] - jnp.dot(jnp.where(idx > i, U[i, :], 0), x)
+        return x.at[i].set(s / U[i, i])
+
+    return jax.lax.fori_loop(0, m, body, jnp.zeros_like(b))
+
+
+def _solve_spd_small(A, b):
+    """Solve the small HPD system A x = b via manual Cholesky."""
+    L = _cholesky_small(A)
+    y = _solve_tri_lower_small(L, b)
+    return _solve_tri_upper_small(L.conj().T, y)
+
+
+# ----------------------------------------------------------------------------
+# Restarted GMRES — general (non-Hermitian / complex-shifted) systems
+# ----------------------------------------------------------------------------
+def _gmres_fixed(matvec, b, x0, rtol, atol, restart, maxiter):
+    n = b.shape[0]
+    dtype = jnp.result_type(b.dtype, x0.dtype)
+    b = b.astype(dtype)
+    x0 = x0.astype(dtype)
+    rdtype = jnp.zeros((), dtype).real.dtype
+    tiny = jnp.asarray(jnp.finfo(rdtype).tiny, rdtype)
+    tol_abs = jnp.maximum(rtol * jnp.linalg.norm(b), atol)
+
+    def cycle(x):
+        """One restart cycle: build a `restart`-step Arnoldi basis with CGS2
+        reorthogonalization (two (m, n) matmuls per step — MXU work, not m
+        sequential dots), then solve the small projected least-squares."""
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((restart + 1, n), dtype)
+        V = V.at[0].set(r / jnp.where(beta > tiny, beta, 1.0))
+        H = jnp.zeros((restart + 1, restart), dtype)
+
+        def arnoldi(j, carry):
+            V, H = carry
+            w = matvec(V[j])
+            mask = (jnp.arange(restart + 1) <= j).astype(dtype)
+            h1 = (V.conj() @ w) * mask
+            w = w - V.T @ h1
+            h2 = (V.conj() @ w) * mask          # second CGS pass
+            w = w - V.T @ h2
+            h = h1 + h2
+            hnext = jnp.linalg.norm(w)
+            ok = hnext > tiny
+            V = V.at[j + 1].set(jnp.where(ok, 1.0, 0.0) * w /
+                                jnp.where(ok, hnext, 1.0))
+            h = h.at[j + 1].set(hnext)
+            H = H.at[:, j].set(h)
+            return V, H
+
+        V, H = jax.lax.fori_loop(0, restart, arnoldi, (V, H))
+        # Least-squares min ||beta*e1 - H y|| via ridge-regularized normal
+        # equations (small (restart, restart) system; robust to happy
+        # breakdown, which zeroes trailing columns).
+        g = jnp.zeros((restart + 1,), dtype).at[0].set(beta)
+        A = H.conj().T @ H
+        ridge = jnp.finfo(rdtype).eps * (jnp.trace(A).real + 1.0)
+        y = _solve_spd_small(A + ridge * jnp.eye(restart, dtype=dtype),
+                             H.conj().T @ g)
+        x = x + V[:restart].T @ y
+        rnorm = jnp.linalg.norm(b - matvec(x))
+        return x, rnorm
+
+    r0 = jnp.linalg.norm(b - matvec(x0))
+    ncycles_max = jnp.asarray(-(-maxiter // restart), jnp.int32)
+
+    def cond(c):
+        x, rnorm, i = c
+        return (i < ncycles_max) & (rnorm > tol_abs)
+
+    def body(c):
+        x, rnorm, i = c
+        x, rnorm = cycle(x)
+        return x, rnorm, i + 1
+
+    x, rnorm, ncyc = jax.lax.while_loop(cond, body, (x0, r0, jnp.zeros((), jnp.int32)))
+    return SolveResult(x, rnorm, ncyc * restart, rnorm <= tol_abs)
+
+
+# ----------------------------------------------------------------------------
+# public, jitted entry points
+# ----------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def _minres_jit(op, b, sigma, x0, rtol, atol, gf_sign, maxiter):
+    return _minres_fixed(_shifted_matvec(op, sigma, gf_sign), b, x0, rtol, atol, maxiter)
+
+
+@functools.partial(jax.jit, static_argnames=("restart", "maxiter"))
+def _gmres_jit(op, b, sigma, x0, rtol, atol, gf_sign, restart, maxiter):
+    return _gmres_fixed(_shifted_matvec(op, sigma, gf_sign), b, x0, rtol, atol,
+                        restart, maxiter)
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def _minres_batch_jit(op, bs, sigmas, x0s, rtol, atol, gf_sign, maxiter):
+    f = lambda b, s, x0: _minres_fixed(_shifted_matvec(op, s, gf_sign), b, x0,
+                                       rtol, atol, maxiter)
+    return jax.vmap(f)(bs, sigmas, x0s)
+
+
+@functools.partial(jax.jit, static_argnames=("restart", "maxiter"))
+def _gmres_batch_jit(op, bs, sigmas, x0s, rtol, atol, gf_sign, restart, maxiter):
+    f = lambda b, s, x0: _gmres_fixed(_shifted_matvec(op, s, gf_sign), b, x0,
+                                      rtol, atol, restart, maxiter)
+    return jax.vmap(f)(bs, sigmas, x0s)
+
+
+def minres(op, b, sigma, x0=None, rtol=1e-4, atol=0.0, maxiter=1000,
+           reverseGF=False) -> SolveResult:
+    """Hermitian shifted solve (sigma*I - H) x = b via MINRES."""
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    return _minres_jit(op, b, sigma, x0, rtol, atol,
+                       -1.0 if reverseGF else 1.0, maxiter)
+
+
+def gmres(op, b, sigma, x0=None, rtol=1e-4, atol=0.0, restart=30,
+          maxiter=1000, reverseGF=False) -> SolveResult:
+    """General shifted solve via restarted GMRES (handles complex sigma)."""
+    dtype = jnp.result_type(b.dtype, jnp.asarray(sigma).dtype, op.dtype)
+    b = b.astype(dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+    return _gmres_jit(op, b, jnp.asarray(sigma, dtype), x0, rtol, atol,
+                      -1.0 if reverseGF else 1.0, restart, maxiter)
+
+
+def minres_batch(op, bs, sigmas, x0s=None, rtol=1e-4, atol=0.0, maxiter=1000,
+                 reverseGF=False) -> SolveResult:
+    """Batched MINRES over leading axis of (bs, sigmas)."""
+    x0s = jnp.zeros_like(bs) if x0s is None else x0s
+    return _minres_batch_jit(op, bs, jnp.asarray(sigmas), x0s, rtol, atol,
+                             -1.0 if reverseGF else 1.0, maxiter)
+
+
+def gmres_batch(op, bs, sigmas, x0s=None, rtol=1e-4, atol=0.0, restart=30,
+                maxiter=1000, reverseGF=False) -> SolveResult:
+    """Batched GMRES over leading axis of (bs, sigmas); used for FEAST's
+    quadrature-node solves."""
+    sigmas = jnp.asarray(sigmas)
+    dtype = jnp.result_type(bs.dtype, sigmas.dtype, op.dtype)
+    bs = bs.astype(dtype)
+    x0s = jnp.zeros_like(bs) if x0s is None else x0s.astype(dtype)
+    return _gmres_batch_jit(op, bs, sigmas.astype(dtype), x0s, rtol, atol,
+                            -1.0 if reverseGF else 1.0, restart, maxiter)
+
+
+@jax.jit
+def _solve_exact_jit(mat, b, sigma, gf_sign):
+    n = mat.shape[0]
+    dtype = jnp.result_type(mat.dtype, b.dtype, sigma.dtype)
+    A = gf_sign * (sigma * jnp.eye(n, dtype=dtype) - mat.astype(dtype))
+    return jnp.linalg.solve(A, b.astype(dtype))
+
+
+def solve_exact(op, b, sigma, reverseGF=False) -> SolveResult:
+    """Exact dense solve of (sigma*I - H) x = b; oracle/test path
+    (the reference's misnamed "pardiso" option, numpyVector.py:164-171)."""
+    x = _solve_exact_jit(op.to_dense(), b, jnp.asarray(sigma),
+                         -1.0 if reverseGF else 1.0)
+    return SolveResult(x, jnp.zeros((), jnp.float64), jnp.ones((), jnp.int32),
+                       jnp.asarray(True))

@@ -1,0 +1,299 @@
+"""Operator abstractions for the TPU compute path.
+
+The reference passes raw ndarrays / scipy ``LinearOperator``s into the
+algorithms (reference: numpyVector.py:147-154, feast.py:256).  Here operators
+are small JAX pytrees with a ``matvec`` method, so they can be closed over by
+``jax.jit`` / ``vmap`` / ``shard_map`` without retracing, and so the same
+operator object drives the dense, sharded, and MPS backends.
+
+* :class:`DenseOperator` — explicit (n, n) matrix; matvec is an MXU matmul.
+* :class:`DiagonalOperator` — diagonal matrix; matvec is a VPU multiply.
+* :class:`SumOfProductOperator` — H = Σ_s c_s ⊗_d A^{(d,s)}; matvec is a
+  batched sequence of mode-wise ``dot_general`` contractions.  This is the
+  TTNS-free way to apply product-basis Hamiltonians (e.g. MCTDH-style .op
+  operators) without materializing the full matrix
+  (SURVEY.md §5 "long-context analogue", reference: unittests/test_lanczosTTNS.py:45-53).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class AbstractOperator:
+    """Minimal operator protocol: shape, dtype, matvec, to_dense."""
+
+    shape: tuple
+    dtype: object
+
+    def matvec(self, x):
+        raise NotImplementedError
+
+    def to_dense(self):
+        """Materialize as a dense (n, n) jnp array (oracle/small paths only)."""
+        raise NotImplementedError
+
+    # Allow ``operator @ array`` in user code.
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseOperator(AbstractOperator):
+    """Explicit dense matrix operator; the workhorse for n ≲ 10^5."""
+
+    def __init__(self, mat):
+        self.mat = jnp.asarray(mat)
+        assert self.mat.ndim == 2 and self.mat.shape[0] == self.mat.shape[1], \
+            f"need square matrix, got {self.mat.shape}"
+
+    @property
+    def shape(self):
+        return self.mat.shape
+
+    @property
+    def dtype(self):
+        return self.mat.dtype
+
+    def matvec(self, x):
+        flat = x.reshape(-1)
+        # preferred_element_type keeps the MXU accumulating at (at least) the
+        # input precision.
+        y = jnp.dot(self.mat, flat.astype(jnp.result_type(self.mat, flat)),
+                    preferred_element_type=jnp.result_type(self.mat, flat))
+        return y.reshape(x.shape)
+
+    def to_dense(self):
+        return self.mat
+
+    def tree_flatten(self):
+        return (self.mat,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.mat = children[0]
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class DiagonalOperator(AbstractOperator):
+    """Diagonal operator; matvec is elementwise (VPU)."""
+
+    def __init__(self, diag):
+        self.diag = jnp.asarray(diag).reshape(-1)
+
+    @property
+    def shape(self):
+        n = self.diag.shape[0]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.diag.dtype
+
+    def matvec(self, x):
+        return (self.diag * x.reshape(-1)).reshape(x.shape)
+
+    def to_dense(self):
+        return jnp.diag(self.diag)
+
+    def tree_flatten(self):
+        return (self.diag,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.diag = children[0]
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class SumOfProductOperator(AbstractOperator):
+    """H = Σ_{s<nSum} ⊗_{d<nDim} A^{(d,s)}, with coefficients folded into the
+    first non-identity factor of each term.
+
+    Stored as per-mode stacked factor tensors ``factors[d]`` of shape
+    (nSum, n_d, n_d), so a matvec is, for each mode d, one batched
+    ``dot_general`` over the term axis — large, static-shaped contractions
+    that XLA tiles onto the MXU.  Memory: the batched intermediate is
+    (nSum, n) — use ``term_chunk`` to bound it for large grids.
+
+    Role parity: the SoP operators of the reference's TTNS tests
+    (reference: unittests/test_lanczosTTNS.py:45-53,
+    operatornD.operatorSumOfProduct) and the MCTDH ``.op`` Hamiltonians.
+    """
+
+    def __init__(self, factors: Sequence, dims: Optional[Sequence[int]] = None,
+                 term_chunk: Optional[int] = None):
+        """:param factors: list over modes d of arrays (nSum, n_d, n_d).
+        :param term_chunk: if set, the matvec scans over the term axis in
+            chunks of this size, bounding the batched intermediate to
+            (term_chunk, n) elements.  Terms are zero-padded to a multiple of
+            the chunk size at construction (zero terms contribute nothing)."""
+        self.factors = [jnp.asarray(f) for f in factors]
+        assert len(self.factors) >= 1
+        nSum = self.factors[0].shape[0]
+        for f in self.factors:
+            assert f.ndim == 3 and f.shape[0] == nSum and f.shape[1] == f.shape[2], \
+                f"bad factor shape {f.shape}"
+        self._true_nSum = nSum
+        if term_chunk is not None and term_chunk < nSum:
+            pad = (-nSum) % term_chunk
+            if pad:
+                self.factors = [
+                    jnp.concatenate([f, jnp.zeros((pad,) + f.shape[1:], f.dtype)])
+                    for f in self.factors]
+        else:
+            term_chunk = None
+        self.term_chunk = term_chunk
+
+    # -- construction helpers ------------------------------------------------
+    @classmethod
+    def from_terms(cls, nDim: int, dims: Sequence[int], terms, dtype=None,
+                   term_chunk: Optional[int] = None):
+        """Build from a list of terms ``(coeff, {mode_index: matrix})``;
+        unspecified modes get identity factors, the coefficient is folded into
+        the first mode's factor."""
+        dtype = dtype or jnp.float64
+        nSum = len(terms)
+        stacked = []
+        for d in range(nDim):
+            eye = np.eye(dims[d], dtype=dtype)
+            mats = []
+            for (coeff, facs) in terms:
+                m = np.asarray(facs.get(d, eye), dtype=dtype)
+                if d == min(facs.keys(), default=0):
+                    m = m * coeff
+                mats.append(m)
+            stacked.append(jnp.asarray(np.stack(mats)))
+        return cls(stacked, term_chunk=term_chunk)
+
+    @property
+    def nDim(self):
+        return len(self.factors)
+
+    @property
+    def nSum(self):
+        return self.factors[0].shape[0]
+
+    @property
+    def dims(self):
+        return tuple(int(f.shape[1]) for f in self.factors)
+
+    @property
+    def shape(self):
+        n = int(np.prod(self.dims))
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return jnp.result_type(*self.factors)
+
+    @staticmethod
+    def _apply_term_batch(factor_batch, xt, dims):
+        """Apply a batch of product terms to x: (S, n_d, n_d) per mode,
+        x reshaped to dims → (S, *dims) then summed over the term axis."""
+        xb = jnp.broadcast_to(xt, (factor_batch[0].shape[0],) + dims)
+        for d, f in enumerate(factor_batch):
+            xb = jnp.moveaxis(xb, d + 1, -1)
+            xb = jnp.einsum("sij,s...j->s...i", f, xb,
+                            preferred_element_type=jnp.result_type(f, xb))
+            xb = jnp.moveaxis(xb, -1, d + 1)
+        return xb.sum(axis=0)
+
+    def matvec(self, x):
+        dims = self.dims
+        xt = x.reshape(dims)
+        if self.term_chunk is None:
+            y = self._apply_term_batch(self.factors, xt, dims)
+        else:
+            chunk = self.term_chunk
+            nchunks = self.factors[0].shape[0] // chunk
+            chunked = tuple(f.reshape((nchunks, chunk) + f.shape[1:])
+                            for f in self.factors)
+
+            def body(acc, fchunk):
+                return acc + self._apply_term_batch(fchunk, xt, dims), None
+
+            dtype = jnp.result_type(self.dtype, x.dtype)
+            y, _ = jax.lax.scan(body, jnp.zeros(dims, dtype), chunked)
+        return y.reshape(x.shape)
+
+    def to_dense(self):
+        """Materialize H as a dense matrix via Kronecker products (small
+        oracle problems only)."""
+        n = self.shape[0]
+        out = np.zeros((n, n), dtype=np.result_type(*[np.asarray(f) for f in self.factors]))
+        for s in range(self.nSum):
+            term = reduce(np.kron, [np.asarray(f[s]) for f in self.factors])
+            out += term
+        return jnp.asarray(out)
+
+    def tree_flatten(self):
+        return tuple(self.factors), (self.term_chunk, self._true_nSum)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.factors = list(children)
+        obj.term_chunk, obj._true_nSum = aux
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class CallableOperator(AbstractOperator):
+    """Wraps a jittable matvec callable (the analogue of scipy
+    LinearOperator).  ``fn`` must be traceable; captured arrays won't be
+    donated/updated across calls."""
+
+    def __init__(self, fn, shape, dtype):
+        self.fn = fn
+        self._shape = tuple(shape)
+        self._dtype = dtype
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def matvec(self, x):
+        return self.fn(x)
+
+    def to_dense(self):
+        n = self._shape[0]
+        eye = jnp.eye(n, dtype=self._dtype)
+        return jax.vmap(self.fn, in_axes=1, out_axes=1)(eye)
+
+    def tree_flatten(self):
+        return (), (self.fn, self._shape, self._dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.fn, obj._shape, obj._dtype = aux
+        return obj
+
+
+def as_operator(H) -> AbstractOperator:
+    """Coerce a user-provided operator-like object into an AbstractOperator.
+
+    Accepts: AbstractOperator (returned as-is), 2-D ndarray/jnp array
+    (→ DenseOperator), scipy-style objects with .matvec/.shape/.dtype."""
+    if isinstance(H, AbstractOperator):
+        return H
+    if isinstance(H, (np.ndarray, jnp.ndarray)) and np.ndim(H) == 2:
+        return DenseOperator(H)
+    if hasattr(H, "matvec") and hasattr(H, "shape"):
+        dtype = getattr(H, "dtype", jnp.float64)
+        return CallableOperator(H.matvec, H.shape, dtype)
+    raise TypeError(f"cannot interpret {type(H)} as an operator")

@@ -1,0 +1,229 @@
+"""FEAST contour-integration eigensolver.
+
+Computes all eigenpairs inside [eMin, eMax] by applying the spectral
+projector P = (1/2πi) ∮ (zI - H)^{-1} dz, evaluated by quadrature over a
+half-ellipse contour, to a subspace of guess vectors, followed by
+Rayleigh-Ritz in the filtered subspace.
+
+Parity: reference feast.py:126-244 (Polizzi PRB 79, 115112 (2009);
+Baiardi, Kelemen, Reiher JCTC 18, 1415 (2021)):
+  * contour points θ_k = -(π/2)(g_k - 1), z_k = (eMin+eMax)/2 +
+    r(cosθ_k + e·i·sinθ_k) with ellipse factor e (reference: feast.py:192-196);
+  * half-contour quadrature (positiveHalf) valid for Hermitian H;
+  * exact-addition backends: one complex solve per node,
+    Qquad_k = Re[-½ w_k r (e·cosθ + i·sinθ) G(z)Y] (reference: feast.py:89-92);
+  * inexact-addition (compressed) backends: two solves at z and z̄ combined
+    with conjugate coefficients (Polizzi eq. 12, reference: feast.py:93-101);
+  * residual over [eMin, eMax] with subspace-shrink matching
+    (reference: feast.py:218-232).
+
+TPU restructuring: the quadrature × subspace double loop (nc/2 × m0
+independent shifted solves per FEAST iteration, reference: feast.py:189-200)
+runs as ONE batched device computation through the backend's ``solveBatch``
+(SURVEY.md §3.2 "prime batching target").
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import warnings
+from typing import List
+
+import numpy as np
+
+from ..vectors.abstract import AbstractVector
+from ..utils.status import feast_status
+from ..utils.subspace import (
+    basisTransformation,
+    diagonalizeHamiltonian,
+    eigenvalueResidual,
+    lowdinOrthoMatrix,
+)
+from ..utils.quadrature import quadraturePointsWeights
+from ..utils.reporting import FeastReporter
+
+
+def _node_optype(z):
+    """Operator type for one quadrature node: real z on the contour keeps the
+    Hermitian structure; complex z needs the general solver ("sym" is
+    disabled — numerical-stability TODO inherited from the reference,
+    feast.py:84-87)."""
+    if abs(z.imag) < 1e-15:
+        return "her", z.real
+    return "gen", z
+
+
+def calculateQuadrature(Amat, guess_b, z, radius, angle, weight,
+                        contourEllipseFactor):
+    """One quadrature term Qquad_k for one subspace vector (Hermitian A),
+    sequential fallback path (reference: feast.py:45-103)."""
+    b = guess_b
+    typeClass = b.__class__
+    opType, z = _node_optype(z)
+
+    if b.hasExactAddition:
+        Qe = typeClass.solve(Amat, b, z, opType=opType)
+        mult = -0.50 * weight * radius * (
+            contourEllipseFactor * math.cos(angle) + math.sin(angle) * 1j)
+        return typeClass.real(mult * Qe)
+    # Polizzi (12): pair of solves at z and conj(z)
+    mult = -0.25 * weight * radius
+    part1 = typeClass.solve(Amat, b, z, opType=opType)
+    part2 = typeClass.solve(Amat, b, np.conj(z), opType=opType)
+    c1 = mult * (contourEllipseFactor * math.cos(angle) + math.sin(angle) * 1j)
+    c2 = mult * (contourEllipseFactor * math.cos(angle) - math.sin(angle) * 1j)
+    return typeClass.linearCombination([part1, part2], [c1, c2])
+
+
+def updateQ(Q, im0, Qquad_k, k):
+    """Accumulate the k-th quadrature term into Q[im0]
+    (reference: feast.py:105-121)."""
+    typeClass = Qquad_k.__class__
+    if k == 0:
+        Q[im0] = Qquad_k
+    else:
+        Q[im0] = typeClass.linearCombination([Q[im0], Qquad_k], [1.0, 1.0])
+    return Q
+
+
+def _contour(eMin, eMax, nc, quad, contourEllipseFactor):
+    """Quadrature nodes on the half-ellipse: returns (gk, wk, thetas, zs)."""
+    gk, wk = quadraturePointsWeights(nc, quad, positiveHalf=True)
+    eRadius = (eMax - eMin) * 0.5
+    thetas = -(np.pi * 0.5) * (gk - 1.0)
+    zs = (eMin + eMax) * 0.5 + eRadius * (
+        np.cos(thetas) + contourEllipseFactor * 1.0j * np.sin(thetas))
+    return gk, wk, thetas, zs
+
+
+def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
+                               contourEllipseFactor):
+    """Apply the rational filter to all m0 subspace vectors with ALL
+    (node, vector) solves in one batched call.  Exact-addition path."""
+    typeClass = type(Y[0])
+    m0 = len(Y)
+    nk = len(gk)
+    # batch layout: lane (k, i) solves (z_k I - A) x = Y[i]
+    bs = [Y[i] for k in range(nk) for i in range(m0)]
+    sigmas = [complex(zs[k]) for k in range(nk) for _ in range(m0)]
+    sols = typeClass.solveBatch(A, bs, sigmas, opType="gen")
+
+    Q = [None] * m0
+    for k in range(nk):
+        mult = -0.50 * wk[k] * eRadius * (
+            contourEllipseFactor * math.cos(thetas[k])
+            + math.sin(thetas[k]) * 1j)
+        for i in range(m0):
+            Qk = typeClass.real(mult * sols[k * m0 + i])
+            Q = updateQ(Q, i, Qk, k)
+    return Q
+
+
+def feastDiagonalization(A, Y: List[AbstractVector],
+                         nc, quad, eMin, eMax, eConv, maxit,
+                         contourEllipseFactor=1.0,
+                         writeOut=True, eShift=0.0,
+                         convertUnit="au", outFileName=None,
+                         summaryFileName=None,
+                         status=None,
+                         batchQuadratureSolves=True):
+    """FEAST diagonalization of the Hermitian operator ``A`` inside
+    [eMin, eMax] (parity: reference feast.py:126-244).
+
+    Input parameters
+    ----------------
+    A : Hermitian operator (matrix / AbstractOperator / SoP)
+    Y : list of guess vectors (subspace dimension m0 = len(Y))
+    nc : number of quadrature points (before half-contour filtering)
+    quad : quadrature rule — "legendre" (default-recommended), "hermite",
+        "trapezoidal"
+    eMin, eMax : search window; every eigenvalue inside is computed
+    eConv : eigenvalue residual convergence tolerance
+        (Σ|E - Eprev| / Σ|E| over the window)
+    maxit : maximum FEAST iterations
+    contourEllipseFactor : contour shape factor (1.0 circle, <1 ellipse;
+        matches Polizzi's Fortran code, needed for oracle tests)
+    batchQuadratureSolves : solve all nc/2 × m0 systems as one batched device
+        computation (exact-addition backends only; compressed backends use the
+        sequential 2-solve path)
+
+    Returns
+    -------
+    (ev, Y, status)
+    """
+    typeClass = type(Y[0])
+    N_SUBSPACE = len(Y)
+    assert eMax > eMin
+    eRadius = (eMax - eMin) * 0.5
+
+    gk, wk, thetas, zs = _contour(eMin, eMax, nc, quad, contourEllipseFactor)
+
+    status = feast_status(status, Y)
+    printObj = FeastReporter(Y, nc, quad, eMin, eMax, eConv, maxit,
+                             status.get("writeOut", writeOut), eShift,
+                             convertUnit, status, outFileName, summaryFileName)
+    printObj.fileHeader()
+
+    ev = np.full(N_SUBSPACE, np.nan)
+    ref_ev = None
+
+    for it in range(maxit):
+        status["outerIter"] = it
+
+        use_batch = (batchQuadratureSolves and Y[0].hasExactAddition
+                     and hasattr(typeClass, "solveBatch"))
+        if use_batch:
+            status["quadrature"] = len(gk) - 1
+            Q = _filtered_subspace_batched(
+                A, Y, gk, wk, thetas, zs, eRadius, contourEllipseFactor)
+        else:
+            Q = [np.nan for _ in range(N_SUBSPACE)]
+            for k in range(len(gk)):
+                status["quadrature"] = k
+                for im0 in range(N_SUBSPACE):
+                    Qquad_k = calculateQuadrature(
+                        A, Y[im0], zs[k], eRadius, thetas[k], wk[k],
+                        contourEllipseFactor)
+                    Q = updateQ(Q, im0, Qquad_k, k)
+
+        # Rayleigh-Ritz in the Löwdin-orthogonalized filtered subspace
+        Smat = typeClass.overlapMatrix(Q)
+        Hmat = typeClass.matrixRepresentation(A, Q)
+
+        printObj.writeFile("iteration", status)
+        printObj.writeFile("overlap", Smat)
+
+        status, uS = lowdinOrthoMatrix(Smat, status)
+        ev, uv = diagonalizeHamiltonian(uS, Hmat, printObj)
+        uSH = uS @ uv
+        del uv
+        Y = basisTransformation(Q, uSH)
+        del Q
+
+        if it != 0:
+            if len(ref_ev) > len(ev):
+                # subspace shrank: match reference eigenvalues to nearest
+                indices = np.argmin(np.abs(ref_ev[:, None] - ev[None, :]), axis=0)
+                ref_ev = ref_ev[indices]
+            elif len(ref_ev) < len(ev):
+                raise RuntimeError(f"{ref_ev=} but {ev=}. Enlarged space?")
+            residual = eigenvalueResidual(ev, ref_ev, [eMin, eMax])
+            status["runTime"] = time.time() - status["startTime"]
+            status["residual"] = residual
+            printObj.writeFile("summary", ev, residual, status)
+            if residual < eConv:
+                status["isConverged"] = True
+                break
+
+        if N_SUBSPACE != len(Y):
+            warnings.warn(
+                f"Alert! Got {N_SUBSPACE - len(Y)} dependent vectors")
+        N_SUBSPACE = len(Y)
+        ref_ev = ev
+
+    printObj.writeFile("results", ev)
+    printObj.fileFooter()
+    printObj.close()
+
+    return ev, Y, status

@@ -1,0 +1,363 @@
+"""JaxVector — the dense JAX/TPU backend of the AbstractVector contract.
+
+Role parity with the reference's dense backend (reference: numpyVector.py),
+re-designed for XLA:
+
+* every heavy operation is a jitted, statically-shaped device computation;
+* subspace assembly (overlap / operator matrices) is formulated as (m, n)
+  matmuls on the MXU instead of m^2 host-looped dots
+  (reference: numpyVector.py:180-203 loops vdots);
+* Gram-Schmidt orthogonalization is a ``lax.scan`` over a padded, stacked
+  basis (one device program instead of m Python-level dot/axpy pairs);
+* shifted solves dispatch to the jitted Krylov solvers in
+  :mod:`eigensolvers_tpu.ops.linear_solvers`, with a batched path used by
+  block Lanczos and FEAST.
+
+Basis stacks are zero-padded to power-of-two row counts so the growing Krylov
+space hits only O(log m) distinct compiled shapes.
+
+The small m×m matrices are returned as host numpy arrays: the projected
+eigenproblems are solved redundantly on host (LAPACK), which is the right
+place for ~100×100 problems (SURVEY.md §2.4 item 3).
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .abstract import AbstractVector, LINDEP_DEFAULT_VALUE
+from ..ops.operators import as_operator
+from ..ops import linear_solvers as ls
+
+
+def _pad_rows(m: int) -> int:
+    """Next power of two >= m (compile-cache friendliness)."""
+    p = 1
+    while p < m:
+        p *= 2
+    return p
+
+
+# ----------------------------------------------------------------------------
+# jitted collective kernels (stacked-basis formulations)
+# ----------------------------------------------------------------------------
+@jax.jit
+def _overlap_kernel(V):
+    """S = V V^H for stacked rows V (m, n)."""
+    return V.conj() @ V.T
+
+
+@jax.jit
+def _apply_batch(op, V):
+    return jax.vmap(op.matvec)(V)
+
+
+@jax.jit
+def _matrep_kernel(op, V):
+    AV = jax.vmap(op.matvec)(V)
+    return V.conj() @ AV.T
+
+
+@jax.jit
+def _lincomb_kernel(V, coeffs):
+    return coeffs @ V
+
+
+@jax.jit
+def _mgs_kernel(x, Q):
+    """Sequential (modified) Gram-Schmidt of x against stacked rows Q, using
+    NON-conjugated dots — a deliberate reproduction of the reference quirk
+    (reference: numpyVector.py:133-140; SURVEY.md §7).  Identical to standard
+    GS for real data.  Zero padding rows are self-guarded (0/1 projection).
+
+    Returns (x_orth, innerprod) with innerprod the non-conjugated <x, x>.
+    """
+    def step(x, q):
+        term1 = jnp.dot(x.ravel(), q.ravel())
+        term2 = jnp.dot(q.ravel(), q.ravel())
+        denom = jnp.where(jnp.abs(term2) > 0, term2, 1.0)
+        x = x - (term1 / denom) * q
+        return x, None
+
+    x, _ = jax.lax.scan(step, x, Q)
+    innerprod = jnp.dot(x.ravel(), x.ravel())
+    return x, innerprod
+
+
+class JaxVector(AbstractVector):
+    """Dense state vector backed by a jnp array (any tensor shape; treated as
+    a flat vector by the inner products)."""
+
+    def __init__(self, array, options: Optional[dict] = None):
+        self.array = jnp.asarray(array)
+        options = dict(options) if options else {}
+        # Same option surface and defaults as the reference dense backend
+        # (reference: numpyVector.py:29-36).
+        opt = dict(options.get("linearSystemArgs", {}))
+        opt.setdefault("linearSolver", "minres")
+        opt.setdefault("linearIter", 1000)
+        opt.setdefault("linear_tol", 1e-4)
+        opt.setdefault("linear_atol", 1e-4)
+        opt.setdefault("gmresRestart", 30)
+        # Reference escalates solver non-convergence warnings to errors
+        # (reference: numpyVector.py:175-177).
+        opt.setdefault("errorOnNonConvergence", True)
+        options["linearSystemArgs"] = opt
+        self.options = options
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def hasExactAddition(self) -> bool:
+        return True
+
+    @property
+    def dtype(self):
+        return np.dtype(self.array.dtype)
+
+    @property
+    def maxD(self) -> int:
+        return 0  # uncompressed
+
+    @property
+    def size(self) -> int:
+        return self.array.size
+
+    @property
+    def shape(self):
+        return self.array.shape
+
+    # -- scalar ops ---------------------------------------------------------
+    def __mul__(self, other):
+        return JaxVector(self.array * other, self.options)
+
+    def __rmul__(self, other):
+        return JaxVector(self.array * other, self.options)
+
+    def __truediv__(self, other):
+        return JaxVector(self.array / other, self.options)
+
+    def __imul__(self, other):
+        self.array = self.array * other
+        return self
+
+    def __itruediv__(self, other):
+        self.array = self.array / other
+        return self
+
+    def __len__(self) -> int:
+        return int(self.array.size)
+
+    def normalize(self) -> "JaxVector":
+        self.array = self.array / jnp.linalg.norm(self.array.ravel())
+        return self
+
+    def norm(self) -> float:
+        return float(jnp.linalg.norm(self.array.ravel()))
+
+    def real(self) -> "JaxVector":
+        return JaxVector(jnp.real(self.array), self.options)
+
+    def conjugate(self) -> "JaxVector":
+        return JaxVector(jnp.conj(self.array), self.options)
+
+    def vdot(self, other, conjugate: bool = True):
+        if conjugate:
+            return complex(jnp.vdot(self.array.ravel(), other.array.ravel())) \
+                if np.issubdtype(self.dtype, np.complexfloating) or \
+                   np.issubdtype(other.dtype, np.complexfloating) \
+                else float(jnp.vdot(self.array.ravel(), other.array.ravel()))
+        val = jnp.dot(self.array.ravel(), other.array.ravel())
+        return complex(val) if jnp.iscomplexobj(val) else float(val)
+
+    def copy(self) -> "JaxVector":
+        return JaxVector(self.array, self.options)  # jnp arrays are immutable
+
+    def applyOp(self, operator) -> "JaxVector":
+        op = as_operator(operator)
+        return JaxVector(op.matvec(self.array), self.options)
+
+    def compress(self) -> "JaxVector":
+        return self
+
+    def to_state_dict(self) -> dict:
+        return {"kind": np.asarray("dense"), "array": np.asarray(self.array)}
+
+    @classmethod
+    def from_state_dict(cls, state: dict, options=None):
+        return cls(state["array"], options)
+
+    # -- stacked-basis helpers ----------------------------------------------
+    @staticmethod
+    def _stack(vectors: List["JaxVector"], pad_to: Optional[int] = None):
+        m = len(vectors)
+        dtype = np.result_type(*[v.dtype for v in vectors])
+        V = jnp.stack([v.array.ravel().astype(dtype) for v in vectors])
+        if pad_to is not None and pad_to > m:
+            V = jnp.concatenate(
+                [V, jnp.zeros((pad_to - m, V.shape[1]), V.dtype)])
+        return V
+
+    # -- collective ops -----------------------------------------------------
+    @staticmethod
+    def linearCombination(vectors: List["JaxVector"], coeffs) -> "JaxVector":
+        assert len(vectors) == len(coeffs)
+        V = JaxVector._stack(vectors)
+        c = jnp.asarray(coeffs, dtype=np.result_type(V.dtype, np.asarray(coeffs).dtype))
+        out = _lincomb_kernel(V.astype(c.dtype), c)
+        return JaxVector(out.reshape(vectors[0].array.shape), vectors[0].options)
+
+    @staticmethod
+    def orthogonalize_against_set(x: "JaxVector", qs: List["JaxVector"],
+                                  lindep=LINDEP_DEFAULT_VALUE):
+        Q = JaxVector._stack(qs, pad_to=_pad_rows(len(qs)))
+        arr, innerprod = _mgs_kernel(x.array.ravel().astype(Q.dtype), Q)
+        innerprod = complex(innerprod).real if jnp.iscomplexobj(innerprod) \
+            else float(innerprod)
+        if innerprod > lindep:
+            arr = arr / jnp.sqrt(innerprod)
+            return JaxVector(arr.reshape(x.array.shape), x.options)
+        return None
+
+    @staticmethod
+    def overlapMatrix(vectors: List["JaxVector"]) -> np.ndarray:
+        m = len(vectors)
+        V = JaxVector._stack(vectors, pad_to=_pad_rows(m))
+        S = np.asarray(_overlap_kernel(V))[:m, :m]
+        return S
+
+    @staticmethod
+    def matrixRepresentation(operator, vectors: List["JaxVector"]) -> np.ndarray:
+        m = len(vectors)
+        op = as_operator(operator)
+        V = JaxVector._stack(vectors, pad_to=_pad_rows(m))
+        M = np.asarray(_matrep_kernel(op, V))[:m, :m]
+        return M
+
+    @staticmethod
+    def extendOverlapMatrix(vectors: List["JaxVector"], overlap: np.ndarray) -> np.ndarray:
+        m = len(vectors)
+        V = JaxVector._stack(vectors, pad_to=_pad_rows(m))
+        col = np.asarray(V.conj() @ V[m - 1])[:m]  # col_i = <v_i | v_new>
+        overlap = np.append(overlap, col[None, :-1].conj(), axis=0)
+        overlap = np.append(overlap, col[:, None], axis=1)
+        return overlap
+
+    @staticmethod
+    def extendMatrixRepresentation(operator, vectors: List["JaxVector"],
+                                   opMat: np.ndarray) -> np.ndarray:
+        m = len(vectors)
+        op = as_operator(operator)
+        V = JaxVector._stack(vectors, pad_to=_pad_rows(m))
+        ket = op.matvec(vectors[-1].array).ravel().astype(V.dtype)
+        col = np.asarray(V.conj() @ ket)[:m]       # col_i = <v_i | A v_new>
+        opMat = np.append(opMat, col[None, :-1].conj(), axis=0)
+        opMat = np.append(opMat, col[:, None], axis=1)
+        return opMat
+
+    # -- linear solves ------------------------------------------------------
+    @staticmethod
+    def _solve_opts(b: "JaxVector", sigma, opType):
+        opts = b.options["linearSystemArgs"]
+        solver = opts["linearSolver"]
+        aliases = {"gcrotmk": "gmres", "pardiso": "exact"}
+        solver = aliases.get(solver, solver)
+        hermitian = opType in ("her", "pos") and \
+            not np.iscomplexobj(np.asarray(sigma))
+        # MINRES requires a Hermitian system; a complex shift or a declared
+        # general operator must fall through to GMRES.
+        if solver == "minres" and not hermitian:
+            solver = "gmres"
+        # Conversely, restarted GMRES stagnates on strongly indefinite
+        # Hermitian systems (the role the reference fills with recycled-Krylov
+        # gcrotmk).  For Hermitian systems with a real shift, MINRES is the
+        # optimal short-recurrence method — route there; the contract is the
+        # stopping tolerance, not the solver internals (SURVEY.md §7
+        # "inexactness semantics").
+        if solver == "gmres" and hermitian:
+            solver = "minres"
+        return solver, opts
+
+    @staticmethod
+    def solve(H, b: "JaxVector", sigma, x0=None, opType: str = "her",
+              reverseGF: bool = False) -> "JaxVector":
+        """(sigma*I - H) x = b, inexactly (reference: numpyVector.py:147-178)."""
+        solver, opts = JaxVector._solve_opts(b, sigma, opType)
+        op = as_operator(H)
+        dtype = np.result_type(np.asarray(sigma).dtype, np.dtype(op.dtype), b.dtype)
+        barr = b.array.ravel().astype(dtype)
+        x0arr = None if x0 is None else x0.array.ravel().astype(dtype)
+
+        if solver == "exact":
+            res = ls.solve_exact(op, barr, sigma, reverseGF=reverseGF)
+        elif solver == "minres":
+            res = ls.minres(op, barr, sigma, x0=x0arr,
+                            rtol=opts["linear_tol"], atol=opts["linear_atol"],
+                            maxiter=opts["linearIter"], reverseGF=reverseGF)
+        elif solver == "gmres":
+            res = ls.gmres(op, barr, sigma, x0=x0arr,
+                           rtol=opts["linear_tol"], atol=opts["linear_atol"],
+                           restart=opts["gmresRestart"],
+                           maxiter=opts["linearIter"], reverseGF=reverseGF)
+        else:
+            raise ValueError(
+                f"unknown linearSolver {solver!r}; available: minres, gmres "
+                f"(alias gcrotmk), exact (alias pardiso)")
+
+        if not bool(res.converged):
+            msg = (f"Iterative solver {solver} did not converge: "
+                   f"residual {float(res.resnorm):.3e} after "
+                   f"{int(res.iterations)} iterations")
+            if opts.get("errorOnNonConvergence", True):
+                raise RuntimeError(msg)
+            warnings.warn(msg)
+        return JaxVector(res.x.reshape(b.array.shape), b.options)
+
+    @classmethod
+    def solveBatch(cls, H, bs: List["JaxVector"], sigmas, x0s=None,
+                   opType: str = "her", reverseGF: bool = False):
+        """Batched shifted solves — one vmapped device computation for all
+        (sigma_k, b_k) pairs (block Lanczos / FEAST batching,
+        SURVEY.md §2.4 item 2)."""
+        solver, opts = cls._solve_opts(bs[0], np.asarray(sigmas), opType)
+        op = as_operator(H)
+        sig = np.asarray(sigmas)
+        dtype = np.result_type(sig.dtype, np.dtype(op.dtype),
+                               *[b.dtype for b in bs])
+        B = jnp.stack([b.array.ravel().astype(dtype) for b in bs])
+        X0 = None if x0s is None else \
+            jnp.stack([x.array.ravel().astype(dtype) for x in x0s])
+
+        if solver == "exact":
+            outs = [ls.solve_exact(op, B[k], sig[k], reverseGF=reverseGF)
+                    for k in range(len(bs))]
+            xs = [o.x for o in outs]
+            conv = [bool(o.converged) for o in outs]
+            resn = [float(o.resnorm) for o in outs]
+            its = [int(o.iterations) for o in outs]
+        else:
+            fn = ls.minres_batch if solver == "minres" else ls.gmres_batch
+            kwargs = dict(rtol=opts["linear_tol"], atol=opts["linear_atol"],
+                          maxiter=opts["linearIter"], reverseGF=reverseGF)
+            if solver == "gmres":
+                kwargs["restart"] = opts["gmresRestart"]
+            res = fn(op, B, jnp.asarray(sig, dtype), x0s=X0, **kwargs)
+            xs = list(res.x)
+            conv = [bool(c) for c in res.converged]
+            resn = [float(r) for r in res.resnorm]
+            its = [int(i) for i in res.iterations]
+
+        for k, ok in enumerate(conv):
+            if not ok:
+                msg = (f"Batched solver {solver} lane {k} did not converge: "
+                       f"residual {resn[k]:.3e} after {its[k]} iterations")
+                if opts.get("errorOnNonConvergence", True):
+                    raise RuntimeError(msg)
+                warnings.warn(msg)
+        return [JaxVector(x.reshape(bs[k].array.shape), bs[k].options)
+                for k, x in enumerate(xs)]
