@@ -1,0 +1,93 @@
+"""FEAST on a known-spectrum dense matrix.
+
+Strategy parity: reference unittests/test_feast.py — 100×100 synthetic with
+eigenvalues linspace(1, 200), contour [160, 166] containing 3 eigenvalues,
+nc=8 legendre, m0=6.  Asserts completeness (every true in-window eigenvalue
+found), per-eigenvalue accuracy 1e-4, orthonormality, and eigenvector
+overlap at tighter eConv.
+"""
+
+import numpy as np
+import pytest
+import scipy.linalg as la
+
+from eigensolvers_tpu import (
+    JaxVector,
+    feastDiagonalization,
+    find_nearest,
+    select_within_range,
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    n = 100
+    ev = np.linspace(1, 200, n)
+    rng = np.random.RandomState(10)
+    Q = la.qr(rng.rand(n, n))[0]
+    A = Q.T @ np.diag(ev) @ Q
+
+    m0 = 6
+    options = {"linearSystemArgs": {
+        "linearSolver": "gcrotmk", "linearIter": 1000, "linear_tol": 1e-2,
+        "errorOnNonConvergence": False}}
+    Y0 = np.empty((n, m0))
+    for i in range(m0):
+        Y0[:, i] = np.ones(n) * (i + 1)
+    Y1 = la.qr(Y0, mode="economic")[0]
+    Y = [JaxVector(Y1[:, i], options) for i in range(m0)]
+
+    evEigh, uvEigh = np.linalg.eigh(A)
+    return dict(A=A, Y=Y, rmin=160.0, rmax=166.0, nc=8,
+                evEigh=evEigh, uvEigh=uvEigh)
+
+
+@pytest.fixture(scope="module", params=["batched", "sequential"])
+def result(request, problem):
+    p = problem
+    ev, uv, status = feastDiagonalization(
+        p["A"], list(p["Y"]), p["nc"], "legendre", p["rmin"], p["rmax"],
+        eConv=1e-10, maxit=20, writeOut=False,
+        batchQuadratureSolves=(request.param == "batched"))
+    return ev, uv, status
+
+
+def test_return_types(result):
+    ev, uv, status = result
+    assert isinstance(ev, np.ndarray)
+    assert isinstance(uv, list)
+    assert isinstance(uv[0], JaxVector)
+
+
+def test_completeness(result, problem):
+    """Every true eigenvalue inside the contour must be found."""
+    ev, _, _ = result
+    contour_ev = select_within_range(problem["evEigh"],
+                                     problem["rmin"], problem["rmax"])[0]
+    assert len(contour_ev) >= 1           # sanity: window non-trivial
+    assert len(contour_ev) <= len(ev)
+    for target in contour_ev:
+        assert abs(find_nearest(ev, target)[1] - target) <= 1e-4
+
+
+def test_orthonormal(result):
+    _, uv, _ = result
+    S = JaxVector.overlapMatrix(uv)
+    np.testing.assert_allclose(S, np.eye(S.shape[0]), atol=1e-5)
+
+
+def test_eigenvectors(problem):
+    p = problem
+    ev, uv, _ = feastDiagonalization(
+        p["A"], list(p["Y"]), p["nc"], "legendre", p["rmin"], p["rmax"],
+        eConv=1e-12, maxit=40, writeOut=False)
+    contour_evs = select_within_range(p["evEigh"], p["rmin"], p["rmax"])[0]
+    for target in contour_evs:
+        idxE = find_nearest(p["evEigh"], target)[0]
+        idxT = find_nearest(ev, target)[0]
+        exactVector = p["uvEigh"][:, idxE]
+        feastVector = np.asarray(uv[idxT].array)
+        ovlp = np.vdot(exactVector, feastVector)
+        np.testing.assert_allclose(abs(ovlp), 1, rtol=1e-2)
+        np.testing.assert_allclose(exactVector, feastVector * ovlp,
+                                   rtol=1e-2, atol=1e-2)
