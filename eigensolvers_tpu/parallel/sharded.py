@@ -1,0 +1,109 @@
+"""ShardedVector — the mesh-sharded backend of the AbstractVector contract.
+
+The state vector lives partitioned over mesh axis "x" (its first tensor
+axis); operators are row-partitioned to match.  All solver code is inherited
+unchanged from :class:`JaxVector`: the jitted kernels are pure jnp programs,
+so under GSPMD the compiler partitions them across the mesh and inserts the
+collectives (all-gather of x for the row-sharded matvec, psum for the inner
+products) — the TPU-native replacement for an MPI layer (SURVEY.md §2.4).
+
+This backend fills the scalability role that TTNS compression plays in the
+reference (SURVEY.md §5 "long-context analogue"): where the reference shrinks
+the state via bond truncation, here the uncompressed state is spread over the
+mesh, and the SoP operator's Kronecker structure keeps the matvec feasible
+without materializing H.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..vectors.dense import JaxVector
+from ..ops.operators import (AbstractOperator, DenseOperator,
+                             SumOfProductOperator, as_operator)
+from .mesh import make_mesh, operator_row_sharding, vector_sharding
+
+
+class ShardedVector(JaxVector):
+    """A JaxVector whose array is explicitly sharded over a device mesh.
+
+    Construction pins the sharding; downstream jnp operations propagate it
+    (GSPMD), so the whole Lanczos/FEAST machinery runs mesh-parallel without
+    further changes.  The first tensor axis must be divisible by the mesh's
+    "x" extent.
+    """
+
+    #: mesh used when none is passed explicitly (set via ``set_default_mesh``)
+    _default_mesh: Optional[Mesh] = None
+
+    def __init__(self, array, options: Optional[dict] = None,
+                 mesh: Optional[Mesh] = None):
+        arr = jnp.asarray(array)
+        mesh = mesh or self._mesh_of(arr) or ShardedVector._default_mesh
+        if mesh is None:
+            mesh = make_mesh(batch=1)
+        self.mesh = mesh
+        xdim = mesh.shape["x"]
+        assert arr.shape[0] % xdim == 0, \
+            f"first axis {arr.shape[0]} not divisible by mesh x={xdim}"
+        sharding = vector_sharding(mesh, arr.ndim)
+        if getattr(arr, "sharding", None) != sharding:
+            arr = jax.device_put(arr, sharding)
+        super().__init__(arr, options)
+
+    @staticmethod
+    def _mesh_of(arr) -> Optional[Mesh]:
+        sh = getattr(arr, "sharding", None)
+        m = getattr(sh, "mesh", None)
+        if m is not None and "x" in getattr(m, "shape", {}):
+            return m if isinstance(m, Mesh) else None
+        return None
+
+    @classmethod
+    def set_default_mesh(cls, mesh: Optional[Mesh]):
+        cls._default_mesh = mesh
+
+    @classmethod
+    def from_array(cls, array, mesh: Optional[Mesh] = None,
+                   options: Optional[dict] = None) -> "ShardedVector":
+        return cls(array, options, mesh=mesh)
+
+    def to_state_dict(self) -> dict:
+        return {"kind": np.asarray("sharded"), "array": np.asarray(self.array)}
+
+    @classmethod
+    def _stack(cls, vectors: List["ShardedVector"], pad_to: Optional[int] = None):
+        """Stacked basis (m, n): rows replicated over "b", columns sharded
+        over "x" — the layout under which S = V V^H lowers to a local matmul
+        + psum over "x"."""
+        V = JaxVector._stack(vectors, pad_to=pad_to)
+        mesh = getattr(vectors[0], "mesh", None)
+        if mesh is not None:
+            V = jax.device_put(V, NamedSharding(mesh, P(None, "x")))
+        return V
+
+
+def shard_operator(H, mesh: Mesh) -> AbstractOperator:
+    """Place an operator's arrays on the mesh:
+
+    * dense (n, n) → row-partitioned P("x", None) (all-gather x, sharded y);
+    * SoP factors → replicated (small per-mode matrices; the state stays
+      sharded over its first mode and XLA re-shards mode contractions);
+    * anything else → coerced via :func:`as_operator` and returned as-is.
+    """
+    op = as_operator(H)
+    if isinstance(op, DenseOperator):
+        return DenseOperator(jax.device_put(op.mat, operator_row_sharding(mesh)))
+    if isinstance(op, SumOfProductOperator):
+        rep = NamedSharding(mesh, P())
+        factors = [jax.device_put(f, rep) for f in op.factors]
+        new = SumOfProductOperator(factors, term_chunk=None)
+        new.term_chunk = op.term_chunk
+        new._true_nSum = op._true_nSum
+        return new
+    return op

@@ -134,13 +134,13 @@ class JaxVector(AbstractVector):
 
     # -- scalar ops ---------------------------------------------------------
     def __mul__(self, other):
-        return JaxVector(self.array * other, self.options)
+        return type(self)(self.array * other, self.options)
 
     def __rmul__(self, other):
-        return JaxVector(self.array * other, self.options)
+        return type(self)(self.array * other, self.options)
 
     def __truediv__(self, other):
-        return JaxVector(self.array / other, self.options)
+        return type(self)(self.array / other, self.options)
 
     def __imul__(self, other):
         self.array = self.array * other
@@ -161,10 +161,10 @@ class JaxVector(AbstractVector):
         return float(jnp.linalg.norm(self.array.ravel()))
 
     def real(self) -> "JaxVector":
-        return JaxVector(jnp.real(self.array), self.options)
+        return type(self)(jnp.real(self.array), self.options)
 
     def conjugate(self) -> "JaxVector":
-        return JaxVector(jnp.conj(self.array), self.options)
+        return type(self)(jnp.conj(self.array), self.options)
 
     def vdot(self, other, conjugate: bool = True):
         if conjugate:
@@ -176,11 +176,11 @@ class JaxVector(AbstractVector):
         return complex(val) if jnp.iscomplexobj(val) else float(val)
 
     def copy(self) -> "JaxVector":
-        return JaxVector(self.array, self.options)  # jnp arrays are immutable
+        return type(self)(self.array, self.options)  # jnp arrays are immutable
 
     def applyOp(self, operator) -> "JaxVector":
         op = as_operator(operator)
-        return JaxVector(op.matvec(self.array), self.options)
+        return type(self)(op.matvec(self.array), self.options)
 
     def compress(self) -> "JaxVector":
         return self
@@ -204,56 +204,56 @@ class JaxVector(AbstractVector):
         return V
 
     # -- collective ops -----------------------------------------------------
-    @staticmethod
-    def linearCombination(vectors: List["JaxVector"], coeffs) -> "JaxVector":
+    @classmethod
+    def linearCombination(cls, vectors: List["JaxVector"], coeffs) -> "JaxVector":
         assert len(vectors) == len(coeffs)
-        V = JaxVector._stack(vectors)
+        V = cls._stack(vectors)
         c = jnp.asarray(coeffs, dtype=np.result_type(V.dtype, np.asarray(coeffs).dtype))
         out = _lincomb_kernel(V.astype(c.dtype), c)
-        return JaxVector(out.reshape(vectors[0].array.shape), vectors[0].options)
+        return cls(out.reshape(vectors[0].array.shape), vectors[0].options)
 
-    @staticmethod
-    def orthogonalize_against_set(x: "JaxVector", qs: List["JaxVector"],
+    @classmethod
+    def orthogonalize_against_set(cls, x: "JaxVector", qs: List["JaxVector"],
                                   lindep=LINDEP_DEFAULT_VALUE):
-        Q = JaxVector._stack(qs, pad_to=_pad_rows(len(qs)))
+        Q = cls._stack(qs, pad_to=_pad_rows(len(qs)))
         arr, innerprod = _mgs_kernel(x.array.ravel().astype(Q.dtype), Q)
         innerprod = complex(innerprod).real if jnp.iscomplexobj(innerprod) \
             else float(innerprod)
         if innerprod > lindep:
             arr = arr / jnp.sqrt(innerprod)
-            return JaxVector(arr.reshape(x.array.shape), x.options)
+            return cls(arr.reshape(x.array.shape), x.options)
         return None
 
-    @staticmethod
-    def overlapMatrix(vectors: List["JaxVector"]) -> np.ndarray:
+    @classmethod
+    def overlapMatrix(cls, vectors: List["JaxVector"]) -> np.ndarray:
         m = len(vectors)
-        V = JaxVector._stack(vectors, pad_to=_pad_rows(m))
+        V = cls._stack(vectors, pad_to=_pad_rows(m))
         S = np.asarray(_overlap_kernel(V))[:m, :m]
         return S
 
-    @staticmethod
-    def matrixRepresentation(operator, vectors: List["JaxVector"]) -> np.ndarray:
+    @classmethod
+    def matrixRepresentation(cls, operator, vectors: List["JaxVector"]) -> np.ndarray:
         m = len(vectors)
         op = as_operator(operator)
-        V = JaxVector._stack(vectors, pad_to=_pad_rows(m))
+        V = cls._stack(vectors, pad_to=_pad_rows(m))
         M = np.asarray(_matrep_kernel(op, V))[:m, :m]
         return M
 
-    @staticmethod
-    def extendOverlapMatrix(vectors: List["JaxVector"], overlap: np.ndarray) -> np.ndarray:
+    @classmethod
+    def extendOverlapMatrix(cls, vectors: List["JaxVector"], overlap: np.ndarray) -> np.ndarray:
         m = len(vectors)
-        V = JaxVector._stack(vectors, pad_to=_pad_rows(m))
+        V = cls._stack(vectors, pad_to=_pad_rows(m))
         col = np.asarray(V.conj() @ V[m - 1])[:m]  # col_i = <v_i | v_new>
         overlap = np.append(overlap, col[None, :-1].conj(), axis=0)
         overlap = np.append(overlap, col[:, None], axis=1)
         return overlap
 
-    @staticmethod
-    def extendMatrixRepresentation(operator, vectors: List["JaxVector"],
+    @classmethod
+    def extendMatrixRepresentation(cls, operator, vectors: List["JaxVector"],
                                    opMat: np.ndarray) -> np.ndarray:
         m = len(vectors)
         op = as_operator(operator)
-        V = JaxVector._stack(vectors, pad_to=_pad_rows(m))
+        V = cls._stack(vectors, pad_to=_pad_rows(m))
         ket = op.matvec(vectors[-1].array).ravel().astype(V.dtype)
         col = np.asarray(V.conj() @ ket)[:m]       # col_i = <v_i | A v_new>
         opMat = np.append(opMat, col[None, :-1].conj(), axis=0)
@@ -283,11 +283,11 @@ class JaxVector(AbstractVector):
             solver = "minres"
         return solver, opts
 
-    @staticmethod
-    def solve(H, b: "JaxVector", sigma, x0=None, opType: str = "her",
+    @classmethod
+    def solve(cls, H, b: "JaxVector", sigma, x0=None, opType: str = "her",
               reverseGF: bool = False) -> "JaxVector":
         """(sigma*I - H) x = b, inexactly (reference: numpyVector.py:147-178)."""
-        solver, opts = JaxVector._solve_opts(b, sigma, opType)
+        solver, opts = cls._solve_opts(b, sigma, opType)
         op = as_operator(H)
         dtype = np.result_type(np.asarray(sigma).dtype, np.dtype(op.dtype), b.dtype)
         barr = b.array.ravel().astype(dtype)
@@ -316,7 +316,7 @@ class JaxVector(AbstractVector):
             if opts.get("errorOnNonConvergence", True):
                 raise RuntimeError(msg)
             warnings.warn(msg)
-        return JaxVector(res.x.reshape(b.array.shape), b.options)
+        return cls(res.x.reshape(b.array.shape), b.options)
 
     @classmethod
     def solveBatch(cls, H, bs: List["JaxVector"], sigmas, x0s=None,
@@ -359,5 +359,5 @@ class JaxVector(AbstractVector):
                 if opts.get("errorOnNonConvergence", True):
                     raise RuntimeError(msg)
                 warnings.warn(msg)
-        return [JaxVector(x.reshape(bs[k].array.shape), bs[k].options)
+        return [cls(x.reshape(bs[k].array.shape), bs[k].options)
                 for k, x in enumerate(xs)]

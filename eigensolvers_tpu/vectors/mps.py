@@ -1,0 +1,595 @@
+"""MPSVector — matrix-product-state backend of the AbstractVector contract.
+
+Fills the role of the reference's external TTNS backend
+(reference: ttnsVector.py; the TTNS machinery itself is an external package,
+SURVEY.md §2.2): a *compressible, inexact* state representation that
+exercises the solver contract's compressed-backend seams —
+``hasExactAddition=False`` (FEAST's two-solve quadrature path,
+reference: feast.py:93-101), ``compress()``, bond-dimension telemetry
+(``maxD`` → status KSmaxD/fitmaxD), and fit-accuracy checking.
+
+Representation: open-boundary MPS with site tensors (D_{k-1}, n_k, D_k).
+Operations are exact tensor arithmetic (direct-sum addition, zipper
+contractions) followed by canonical SVD truncation to ``maxD``/``eps`` —
+truncation is where the inexactness enters, mirroring the reference's
+variational sweeps at the contract level.  Shifted solves run in compressed
+Krylov arithmetic (MINRES for Hermitian real shifts, BiCGStab for complex
+shifts), each basis operation re-compressed; with generous ``maxD`` this
+reproduces dense results, with tight ``maxD`` it behaves like the
+reference's inexact sweep solvers.
+
+Contractions are jnp (XLA) ops; bond dimensions vary during a run, so this
+backend runs eagerly (per-shape jit would thrash the compile cache).  A
+fixed-bond, fully-jitted ALS sweep path is the planned production
+optimization.
+"""
+
+from __future__ import annotations
+
+import warnings
+from numbers import Number
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .abstract import AbstractVector, LINDEP_DEFAULT_VALUE
+from ..ops.operators import SumOfProductOperator
+
+
+Array = np.ndarray  # contractions use numpy on host for variable shapes
+
+
+# ----------------------------------------------------------------------------
+# core MPS tensor algebra
+# ----------------------------------------------------------------------------
+def mps_random(dims: Sequence[int], maxD: int, seed: int = 0,
+               dtype=np.float64) -> List[Array]:
+    """Random MPS with bond dims capped by maxD and the entanglement limit."""
+    rng = np.random.RandomState(seed)
+    L = len(dims)
+    bonds = [1]
+    for k in range(1, L):
+        bonds.append(int(min(maxD, np.prod(dims[:k]), np.prod(dims[k:]))))
+    bonds.append(1)
+    ts = []
+    for k in range(L):
+        t = rng.standard_normal((bonds[k], dims[k], bonds[k + 1]))
+        if np.issubdtype(np.dtype(dtype), np.complexfloating):
+            t = t + 1j * rng.standard_normal(t.shape)
+        ts.append(t.astype(dtype))
+    return ts
+
+
+def mps_vdot(bra: List[Array], ket: List[Array]) -> complex:
+    """<bra|ket> via left-to-right transfer (zipper) contraction."""
+    E = np.ones((1, 1), dtype=np.result_type(bra[0].dtype, ket[0].dtype))
+    for A, B in zip(bra, ket):
+        # E_{a,b} A*_{a,n,a'} B_{b,n,b'} -> E'_{a',b'}
+        T = np.tensordot(E, A.conj(), axes=([0], [0]))    # (b, n, a')
+        E = np.tensordot(T, B, axes=([0, 1], [0, 1]))     # (a', b')
+    return E[0, 0]
+
+
+def mps_scale(ts: List[Array], c) -> List[Array]:
+    out = [t.copy() for t in ts]
+    out[0] = out[0] * c
+    return out
+
+
+def mps_add(a: List[Array], b: List[Array]) -> List[Array]:
+    """Exact direct-sum addition."""
+    L = len(a)
+    dtype = np.result_type(a[0].dtype, b[0].dtype)
+    if L == 1:
+        return [a[0].astype(dtype) + b[0].astype(dtype)]
+    out = []
+    for k in range(L):
+        Ak, Bk = a[k], b[k]
+        if k == 0:
+            t = np.concatenate([Ak, Bk], axis=2)
+        elif k == L - 1:
+            t = np.concatenate([Ak, Bk], axis=0)
+        else:
+            Dl = Ak.shape[0] + Bk.shape[0]
+            Dr = Ak.shape[2] + Bk.shape[2]
+            t = np.zeros((Dl, Ak.shape[1], Dr), dtype)
+            t[:Ak.shape[0], :, :Ak.shape[2]] = Ak
+            t[Ak.shape[0]:, :, Ak.shape[2]:] = Bk
+        out.append(t.astype(dtype))
+    return out
+
+
+def mps_compress(ts: List[Array], maxD: Optional[int] = None,
+                 eps: float = 0.0) -> Tuple[List[Array], float]:
+    """Canonicalize (left QR sweep) then truncate (right-to-left SVD sweep).
+
+    :returns: (compressed tensors, discarded weight estimate)
+    """
+    L = len(ts)
+    ts = [t.copy() for t in ts]
+    # left-to-right QR: bring to left-canonical form
+    for k in range(L - 1):
+        Dl, n, Dr = ts[k].shape
+        q, r = np.linalg.qr(ts[k].reshape(Dl * n, Dr))
+        ts[k] = q.reshape(Dl, n, q.shape[1])
+        ts[k + 1] = np.tensordot(r, ts[k + 1], axes=([1], [0]))
+    # right-to-left SVD truncation
+    discarded = 0.0
+    for k in range(L - 1, 0, -1):
+        Dl, n, Dr = ts[k].shape
+        u, s, vh = np.linalg.svd(ts[k].reshape(Dl, n * Dr),
+                                 full_matrices=False)
+        keep = len(s)
+        if eps > 0.0:
+            tot = np.sum(s ** 2)
+            if tot > 0:
+                csum = np.cumsum((s ** 2)[::-1])[::-1]
+                ok = csum > eps ** 2 * tot
+                keep = max(1, int(np.sum(ok)))
+        if maxD is not None:
+            keep = min(keep, maxD)
+        discarded += float(np.sum(s[keep:] ** 2))
+        u, s, vh = u[:, :keep], s[:keep], vh[:keep]
+        ts[k] = vh.reshape(keep, n, Dr)
+        carry = u * s
+        ts[k - 1] = np.tensordot(ts[k - 1], carry, axes=([2], [0]))
+    return ts, discarded
+
+
+def mps_dense(ts: List[Array]) -> Array:
+    """Densify to the full tensor (small test systems only)."""
+    out = ts[0]
+    for t in ts[1:]:
+        out = np.tensordot(out, t, axes=([out.ndim - 1], [0]))
+    return out[0, ..., 0]
+
+
+def mps_from_dense(x: Array, dims: Sequence[int], maxD: Optional[int] = None,
+                   eps: float = 0.0) -> List[Array]:
+    """Exact (up to truncation) MPS decomposition of a dense tensor."""
+    x = np.asarray(x).reshape(dims)
+    L = len(dims)
+    ts = []
+    carry = x.reshape(1, -1)
+    Dl = 1
+    for k in range(L - 1):
+        mat = carry.reshape(Dl * dims[k], -1)
+        u, s, vh = np.linalg.svd(mat, full_matrices=False)
+        keep = len(s)
+        if eps > 0.0:
+            tot = np.sum(s ** 2)
+            if tot > 0:
+                csum = np.cumsum((s ** 2)[::-1])[::-1]
+                keep = max(1, int(np.sum(csum > eps ** 2 * tot)))
+        if maxD is not None:
+            keep = min(keep, maxD)
+        u, s, vh = u[:, :keep], s[:keep], vh[:keep]
+        ts.append(u.reshape(Dl, dims[k], keep))
+        carry = (s[:, None] * vh)
+        Dl = keep
+    ts.append(carry.reshape(Dl, dims[-1], 1))
+    return ts
+
+
+# ----------------------------------------------------------------------------
+# MPO (sum-of-products → matrix product operator)
+# ----------------------------------------------------------------------------
+class MPO:
+    """Matrix product operator with site tensors (W_{k-1}, n_k, n_k, W_k).
+
+    Built from a :class:`SumOfProductOperator` with bond dimension nSum
+    (term-diagonal construction); ``compress()`` reduces the bond via SVD.
+    """
+
+    def __init__(self, tensors: List[Array]):
+        self.tensors = tensors
+
+    @classmethod
+    def from_sop(cls, op: SumOfProductOperator) -> "MPO":
+        factors = [np.asarray(f) for f in op.factors]
+        S = factors[0].shape[0]
+        L = len(factors)
+        ts = []
+        for k, F in enumerate(factors):
+            n = F.shape[1]
+            if L == 1:
+                t = F.sum(axis=0)[None, :, :, None]
+            elif k == 0:
+                t = np.transpose(F, (1, 2, 0))[None, :, :, :]      # (1,n,n,S)
+            elif k == L - 1:
+                t = np.transpose(F, (0, 1, 2))[:, :, :, None]      # (S,n,n,1)
+            else:
+                t = np.zeros((S, n, n, S), F.dtype)
+                idx = np.arange(S)
+                t[idx, :, :, idx] = F
+            ts.append(t)
+        return cls(ts)
+
+    @property
+    def dims(self):
+        return [t.shape[1] for t in self.tensors]
+
+    @property
+    def dtype(self):
+        return np.result_type(*[t.dtype for t in self.tensors])
+
+    def compress(self, eps: float = 1e-13) -> "MPO":
+        """SVD-compress the MPO bond dimension (lossless at eps≈1e-13)."""
+        ts = [t.copy() for t in self.tensors]
+        L = len(ts)
+        for k in range(L - 1):
+            W1, n, m, W2 = ts[k].shape
+            mat = ts[k].reshape(W1 * n * m, W2)
+            u, s, vh = np.linalg.svd(mat, full_matrices=False)
+            tot = np.sum(s ** 2)
+            keep = max(1, int(np.sum(s ** 2 > (eps ** 2) * tot / max(len(s), 1))))
+            u, s, vh = u[:, :keep], s[:keep], vh[:keep]
+            ts[k] = u.reshape(W1, n, m, keep)
+            carry = s[:, None] * vh
+            ts[k + 1] = np.tensordot(carry, ts[k + 1], axes=([1], [0]))
+        return MPO(ts)
+
+    def apply(self, mps: List[Array]) -> List[Array]:
+        """Exact MPO @ MPS (bond dims multiply; compress afterwards)."""
+        out = []
+        for W, T in zip(self.tensors, mps):
+            # W_{w,i,j,w'} T_{a,j,b} -> (w a, i, w' b)
+            t = np.tensordot(W, T, axes=([2], [1]))   # (w, i, w', a, b)
+            t = np.transpose(t, (0, 3, 1, 2, 4))       # (w, a, i, w', b)
+            w, a, i, w2, b = t.shape
+            out.append(t.reshape(w * a, i, w2 * b))
+        return out
+
+    def sandwich(self, bra: List[Array], ket: List[Array]) -> complex:
+        """<bra| MPO |ket> zipper contraction."""
+        E = np.ones((1, 1, 1),
+                    dtype=np.result_type(bra[0].dtype, self.dtype, ket[0].dtype))
+        for A, W, B in zip(bra, self.tensors, ket):
+            # E_{a,w,b} A*_{a,i,a'} W_{w,i,j,w'} B_{b,j,b'}
+            T = np.tensordot(E, A.conj(), axes=([0], [0]))      # (w,b,i,a')
+            T = np.tensordot(T, W, axes=([0, 2], [0, 1]))       # (b,a',j,w')
+            E = np.tensordot(T, B, axes=([0, 2], [0, 1]))       # (a',w',b')
+            E = np.transpose(E, (0, 1, 2))
+        return E[0, 0, 0]
+
+
+# ----------------------------------------------------------------------------
+# the backend class
+# ----------------------------------------------------------------------------
+class MPSVector(AbstractVector):
+    """Matrix-product-state vector.
+
+    ``options`` (same scoping idea as reference ttnsVector.py:18-44):
+      * ``compressArgs``: {"maxD": int, "eps": float} — truncation targets
+      * ``linearSystemArgs``: {"linearSolver": "minres"|"bicgstab",
+        "linearIter", "linear_tol", "maxD"} — compressed-Krylov solve
+      * ``orthogonalizationArgs``/``stateFittingArgs``: {"maxD", "eps"}
+        overriding compressArgs for those tasks
+    """
+
+    def __init__(self, tensors: List[Array], options: Optional[dict] = None):
+        self.tensors = [np.asarray(t) for t in tensors]
+        options = dict(options) if options else {}
+        comp = dict(options.get("compressArgs", {}))
+        comp.setdefault("maxD", 64)
+        comp.setdefault("eps", 1e-10)
+        options["compressArgs"] = comp
+        lin = dict(options.get("linearSystemArgs", {}))
+        lin.setdefault("linearSolver", "minres")
+        lin.setdefault("linearIter", 200)
+        lin.setdefault("linear_tol", 1e-3)
+        lin.setdefault("maxD", comp["maxD"])
+        lin.setdefault("eps", comp["eps"])
+        options["linearSystemArgs"] = lin
+        options.setdefault("orthogonalizationArgs", dict(comp))
+        options.setdefault("stateFittingArgs", dict(comp))
+        self.options = options
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def random(cls, dims, maxD, options=None, seed=0, dtype=np.float64):
+        v = cls(mps_random(dims, maxD, seed=seed, dtype=dtype), options)
+        return v.normalize()
+
+    @classmethod
+    def from_dense(cls, x, dims, options=None, maxD=None, eps=0.0):
+        return cls(mps_from_dense(x, dims, maxD=maxD, eps=eps), options)
+
+    def to_dense(self) -> np.ndarray:
+        return mps_dense(self.tensors)
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def hasExactAddition(self) -> bool:
+        return False
+
+    @property
+    def dtype(self):
+        return np.result_type(*[t.dtype for t in self.tensors])
+
+    @property
+    def maxD(self) -> int:
+        return max(t.shape[0] for t in self.tensors[1:]) if len(self.tensors) > 1 else 1
+
+    @property
+    def dims(self):
+        return [t.shape[1] for t in self.tensors]
+
+    def __len__(self) -> int:
+        return int(np.prod(self.dims))
+
+    # -- scalar ops ---------------------------------------------------------
+    def __mul__(self, other: Number):
+        return type(self)(mps_scale(self.tensors, other), self.options)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other: Number):
+        return type(self)(mps_scale(self.tensors, 1.0 / other), self.options)
+
+    def __imul__(self, other: Number):
+        self.tensors[0] = self.tensors[0] * other
+        return self
+
+    def __itruediv__(self, other: Number):
+        self.tensors[0] = self.tensors[0] / other
+        return self
+
+    def norm(self) -> float:
+        return float(np.sqrt(abs(mps_vdot(self.tensors, self.tensors))))
+
+    def normalize(self):
+        n = self.norm()
+        if n > 0:
+            self.tensors[0] = self.tensors[0] / n
+        return self
+
+    def real(self):
+        # direct-sum of (v + v*)/2 then compress would double bonds; the
+        # FEAST accumulation path only calls real() on exact-addition
+        # backends, so plain elementwise real of an (already combined)
+        # state is the meaningful operation here.
+        return type(self)([np.real(t) for t in self.tensors], self.options)
+
+    def conjugate(self):
+        return type(self)([np.conj(t) for t in self.tensors], self.options)
+
+    def vdot(self, other, conjugate: bool = True):
+        if not conjugate:
+            bra = [t.conj() for t in self.tensors]
+            return mps_vdot(bra, other.tensors)
+        return mps_vdot(self.tensors, other.tensors)
+
+    def copy(self):
+        return type(self)([t.copy() for t in self.tensors], self.options)
+
+    def applyOp(self, operator):
+        mpo = operator if isinstance(operator, MPO) else MPO.from_sop(operator)
+        args = self.options["compressArgs"]
+        ts, _ = mps_compress(mpo.apply(self.tensors),
+                             maxD=args["maxD"], eps=args["eps"])
+        return type(self)(ts, self.options)
+
+    def compress(self):
+        args = self.options["compressArgs"]
+        ts, _ = mps_compress(self.tensors, maxD=args["maxD"], eps=args["eps"])
+        return type(self)(ts, self.options)
+
+    def to_state_dict(self) -> dict:
+        state = {"kind": np.asarray("mps"),
+                 "n_sites": np.asarray(len(self.tensors))}
+        for i, t in enumerate(self.tensors):
+            state[f"tensor_{i}"] = t
+        return state
+
+    @classmethod
+    def from_state_dict(cls, state, options=None):
+        n = int(state["n_sites"])
+        return cls([state[f"tensor_{i}"] for i in range(n)], options)
+
+    # -- collective ops -----------------------------------------------------
+    @classmethod
+    def linearCombination(cls, vectors: List["MPSVector"], coeffs):
+        """Σ c_i v_i by direct-sum accumulation with intermediate
+        compression (bounds the working bond dimension)."""
+        assert len(vectors) == len(coeffs)
+        args = vectors[0].options.get("stateFittingArgs",
+                                      vectors[0].options["compressArgs"])
+        maxD, eps = args["maxD"], args.get("eps", 0.0)
+        acc = mps_scale(vectors[0].tensors, coeffs[0])
+        for v, c in zip(vectors[1:], coeffs[1:]):
+            acc = mps_add(acc, mps_scale(v.tensors, c))
+            if max(t.shape[0] for t in acc[1:]) > 2 * maxD:
+                acc, _ = mps_compress(acc, maxD=maxD, eps=eps)
+        acc, _ = mps_compress(acc, maxD=maxD, eps=eps)
+        return cls(acc, vectors[0].options)
+
+    @classmethod
+    def orthogonalize_against_set(cls, x: "MPSVector", qs: List["MPSVector"],
+                                  lindep=LINDEP_DEFAULT_VALUE):
+        """MGS with compression after each projection subtraction."""
+        args = x.options.get("orthogonalizationArgs",
+                             x.options["compressArgs"])
+        maxD, eps = args["maxD"], args.get("eps", 0.0)
+        cur = [t.copy() for t in x.tensors]
+        for q in qs:
+            c = mps_vdot(q.tensors, cur)
+            cur = mps_add(cur, mps_scale(q.tensors, -c))
+            cur, _ = mps_compress(cur, maxD=maxD, eps=eps)
+        nrm2 = abs(mps_vdot(cur, cur))
+        if nrm2 < lindep:
+            return None
+        cur = mps_scale(cur, 1.0 / np.sqrt(nrm2))
+        return cls(cur, x.options)
+
+    @classmethod
+    def matrixRepresentation(cls, operator, vectors: List["MPSVector"]):
+        mpo = operator if isinstance(operator, MPO) else MPO.from_sop(operator)
+        m = len(vectors)
+        dtype = np.result_type(mpo.dtype, *[v.dtype for v in vectors])
+        M = np.empty((m, m), dtype=dtype)
+        for i in range(m):
+            for j in range(i, m):
+                val = mpo.sandwich(vectors[i].tensors, vectors[j].tensors)
+                M[i, j] = val
+                M[j, i] = np.conj(val)
+        return M
+
+    @classmethod
+    def overlapMatrix(cls, vectors: List["MPSVector"]):
+        m = len(vectors)
+        dtype = np.result_type(*[v.dtype for v in vectors])
+        S = np.empty((m, m), dtype=dtype)
+        for i in range(m):
+            for j in range(i, m):
+                S[i, j] = mps_vdot(vectors[i].tensors, vectors[j].tensors)
+                S[j, i] = np.conj(S[i, j])
+        return S
+
+    @classmethod
+    def extendMatrixRepresentation(cls, operator, vectors, opMat):
+        mpo = operator if isinstance(operator, MPO) else MPO.from_sop(operator)
+        m = len(vectors)
+        col = np.array([mpo.sandwich(v.tensors, vectors[-1].tensors)
+                        for v in vectors])
+        opMat = np.append(opMat, col[None, :-1].conj(), axis=0)
+        opMat = np.append(opMat, col[:, None], axis=1)
+        return opMat
+
+    @classmethod
+    def extendOverlapMatrix(cls, vectors, overlap):
+        col = np.array([mps_vdot(v.tensors, vectors[-1].tensors)
+                        for v in vectors])
+        overlap = np.append(overlap, col[None, :-1].conj(), axis=0)
+        overlap = np.append(overlap, col[:, None], axis=1)
+        return overlap
+
+    # -- compressed-Krylov shifted solve ------------------------------------
+    @classmethod
+    def solve(cls, H, b: "MPSVector", sigma, x0=None, opType="her",
+              reverseGF=False):
+        """(sigma - H) x = b in compressed MPS arithmetic.
+
+        MINRES for Hermitian (real sigma), BiCGStab for complex shifts;
+        every vector operation is followed by truncation to the solve's
+        ``maxD`` — the compressed-arithmetic analog of the reference's
+        inexact sweep solves (reference: ttnsVector.py:169-196).
+        """
+        mpo = H if isinstance(H, MPO) else MPO.from_sop(H)
+        opts = b.options["linearSystemArgs"]
+        maxD, eps = opts["maxD"], opts.get("eps", 0.0)
+        rtol = opts["linear_tol"]
+        maxiter = opts["linearIter"]
+        sign = -1.0 if reverseGF else 1.0
+        complex_shift = bool(np.iscomplexobj(np.asarray(sigma)))
+
+        def comp(ts):
+            out, _ = mps_compress(ts, maxD=maxD, eps=eps)
+            return out
+
+        def matvec(ts):
+            Hts = mpo.apply(ts)
+            out = mps_add(mps_scale(ts, sign * sigma), mps_scale(Hts, -sign))
+            return comp(out)
+
+        bt = b.tensors
+        if complex_shift and not np.iscomplexobj(bt[0]):
+            bt = [t.astype(complex) for t in bt]
+        bnorm = float(np.sqrt(abs(mps_vdot(bt, bt))))
+        tol_abs = max(rtol * bnorm, 0.0)
+
+        solver = "bicgstab" if (complex_shift or opType == "gen") else "minres"
+        if solver == "minres":
+            x = _mps_minres(matvec, bt, comp, tol_abs, maxiter)
+        else:
+            x = _mps_bicgstab(matvec, bt, comp, tol_abs, maxiter)
+        return cls(x, b.options)
+
+
+def _mps_minres(matvec, b, comp, tol_abs, maxiter):
+    """MINRES in compressed MPS arithmetic (Paige-Saunders recurrences with
+    re-compression after every vector update)."""
+    x = mps_scale(b, 0.0)
+    r1 = b
+    y = r1
+    beta1 = np.sqrt(abs(mps_vdot(r1, y)))
+    if beta1 == 0:
+        return x
+    oldb, beta = 0.0, beta1
+    dbar = epsln = 0.0
+    phibar = beta1
+    cs, sn = -1.0, 0.0
+    w = mps_scale(b, 0.0)
+    w2 = mps_scale(b, 0.0)
+    r2 = r1
+    for itn in range(1, maxiter + 1):
+        v = mps_scale(y, 1.0 / beta)
+        y = matvec(v)
+        if itn >= 2:
+            y = comp(mps_add(y, mps_scale(r1, -beta / oldb)))
+        alfa = np.real(mps_vdot(v, y))
+        y = comp(mps_add(y, mps_scale(r2, -alfa / beta)))
+        r1, r2 = r2, y
+        oldb, beta = beta, np.sqrt(abs(mps_vdot(y, y)))
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln = sn * beta
+        dbar = -cs * beta
+        gamma = max(np.sqrt(gbar * gbar + beta * beta), 1e-300)
+        cs, sn = gbar / gamma, beta / gamma
+        phi = cs * phibar
+        phibar = sn * phibar
+        w1 = w2
+        w2 = w
+        w = comp(mps_add(mps_add(v, mps_scale(w1, -oldeps)),
+                         mps_scale(w2, -delta)))
+        w = mps_scale(w, 1.0 / gamma)
+        x = comp(mps_add(x, mps_scale(w, phi)))
+        if phibar <= tol_abs or beta == 0:
+            break
+    return x
+
+
+def _mps_bicgstab(matvec, b, comp, tol_abs, maxiter):
+    """BiCGStab in compressed MPS arithmetic (complex shifts)."""
+    x = mps_scale(b, 0.0)
+    r = b
+    rhat = [t.copy() for t in r]
+    rho = alpha = omega = 1.0
+    v = p = None
+    rho_prev = None
+    for itn in range(1, maxiter + 1):
+        rho = mps_vdot(rhat, r)
+        if rho == 0:
+            break
+        if itn == 1:
+            p = r
+        else:
+            beta = (rho / rho_prev) * (alpha / omega)
+            pm = mps_add(p, mps_scale(v, -omega))
+            p = comp(mps_add(r, mps_scale(pm, beta)))
+        v = matvec(p)
+        denom = mps_vdot(rhat, v)
+        if denom == 0:
+            break
+        alpha = rho / denom
+        s = comp(mps_add(r, mps_scale(v, -alpha)))
+        snorm = np.sqrt(abs(mps_vdot(s, s)))
+        if snorm <= tol_abs:
+            x = comp(mps_add(x, mps_scale(p, alpha)))
+            break
+        t = matvec(s)
+        tt = mps_vdot(t, t)
+        if tt == 0:
+            break
+        omega = mps_vdot(t, s) / tt
+        x = comp(mps_add(mps_add(x, mps_scale(p, alpha)),
+                         mps_scale(s, omega)))
+        r = comp(mps_add(s, mps_scale(t, -omega)))
+        rnorm = np.sqrt(abs(mps_vdot(r, r)))
+        if rnorm <= tol_abs:
+            break
+        rho_prev = rho
+    return x

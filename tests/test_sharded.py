@@ -1,0 +1,99 @@
+"""Sharded backend: 1-device vs 8-device equivalence on a virtual CPU mesh.
+
+The multi-device test the reference never had (SURVEY.md §4 "multi-node
+testing"): the same seed/problem must produce the same eigenpairs through
+the dense backend and through the mesh-sharded backend.
+"""
+
+import jax
+import numpy as np
+import pytest
+import scipy.linalg as la
+
+from eigensolvers_tpu import JaxVector, inexactLanczosDiagonalization, \
+    feastDiagonalization, find_nearest, select_within_range
+from eigensolvers_tpu.parallel import ShardedVector, make_mesh, shard_operator
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(batch=1, shard=8)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    n = 96  # divisible by 8
+    ev = np.linspace(1, 200, n)
+    rng = np.random.RandomState(1212)
+    Q = la.qr(rng.rand(n, n))[0]
+    A = Q.T @ np.diag(ev) @ Q
+    guess = rng.rand(n)
+    return A, ev, guess
+
+
+def _run(A, guess, vec_cls, sigma=30, **kw):
+    options = {"linearSystemArgs": {
+        "linearSolver": "gcrotmk", "linearIter": 1000, "linear_tol": 1e-4}}
+    Y0 = vec_cls(guess, options)
+    return inexactLanczosDiagonalization(
+        A, Y0, sigma, 6, 4, 1e-6, writeOut=False, **kw)
+
+
+def test_sharded_matches_dense(problem, mesh):
+    A, ev, guess = problem
+    evD, uvD, stD = _run(A, guess, JaxVector)
+    ShardedVector.set_default_mesh(mesh)
+    try:
+        Ash = shard_operator(A, mesh)
+        evS, uvS, stS = _run(Ash, guess, ShardedVector)
+    finally:
+        ShardedVector.set_default_mesh(None)
+    # Mesh partitioning changes reduction order, so floating-point
+    # trajectories differ at roundoff amplified through the inexact solves;
+    # the converged eigenvalue must still agree far below eConv, the
+    # unconverged Ritz values within the solve tolerance.
+    tgtS, tgtD = find_nearest(evS, 30)[1], find_nearest(evD, 30)[1]
+    np.testing.assert_allclose(tgtS, tgtD, rtol=1e-8)
+    np.testing.assert_allclose(np.sort(evS), np.sort(evD), rtol=1e-3)
+    vd = np.asarray(uvD[find_nearest(evD, 30)[0]].array)
+    vs = np.asarray(uvS[find_nearest(evS, 30)[0]].array)
+    ov = np.vdot(vd, vs)
+    np.testing.assert_allclose(abs(ov), 1, rtol=1e-6)
+    assert isinstance(uvS[0], ShardedVector)
+    assert uvS[0].array.sharding.spec == uvS[0].array.sharding.spec  # sharded array round-trips
+
+
+def test_sharded_accuracy(problem, mesh):
+    A, ev, guess = problem
+    ShardedVector.set_default_mesh(mesh)
+    try:
+        Ash = shard_operator(A, mesh)
+        evS, _, stS = _run(Ash, guess, ShardedVector)
+    finally:
+        ShardedVector.set_default_mesh(None)
+    target = find_nearest(evS, 30)[1]
+    truth = find_nearest(ev, 30)[1]
+    assert abs(target - truth) <= 1e-4
+    assert stS["isConverged"]
+
+
+def test_sharded_feast(problem, mesh):
+    A, ev, guess = problem
+    n = A.shape[0]
+    m0 = 6
+    options = {"linearSystemArgs": {
+        "linearSolver": "gcrotmk", "linearIter": 1000, "linear_tol": 1e-2,
+        "errorOnNonConvergence": False}}
+    Y0 = np.stack([np.ones(n) * (i + 1) for i in range(m0)], axis=1)
+    Y1 = la.qr(Y0, mode="economic")[0]
+    ShardedVector.set_default_mesh(mesh)
+    try:
+        Ash = shard_operator(A, mesh)
+        Y = [ShardedVector(Y1[:, i], options, mesh=mesh) for i in range(m0)]
+        evF, uvF, st = feastDiagonalization(
+            Ash, Y, 8, "legendre", 160.0, 166.0, 1e-8, 20, writeOut=False)
+    finally:
+        ShardedVector.set_default_mesh(None)
+    for target in select_within_range(ev, 160, 166)[0]:
+        assert abs(find_nearest(evF, target)[1] - target) <= 1e-4
