@@ -42,6 +42,7 @@ from ..utils.subspace import (
 )
 from ..utils.quadrature import quadraturePointsWeights
 from ..utils.reporting import FeastReporter
+from ..utils.profiling import PhaseTimer
 
 
 def _node_optype(z):
@@ -167,29 +168,32 @@ def feastDiagonalization(A, Y: List[AbstractVector],
 
     ev = np.full(N_SUBSPACE, np.nan)
     ref_ev = None
+    timer = PhaseTimer()
 
     for it in range(maxit):
         status["outerIter"] = it
 
         use_batch = (batchQuadratureSolves and Y[0].hasExactAddition
                      and hasattr(typeClass, "solveBatch"))
-        if use_batch:
-            status["quadrature"] = len(gk) - 1
-            Q = _filtered_subspace_batched(
-                A, Y, gk, wk, thetas, zs, eRadius, contourEllipseFactor)
-        else:
-            Q = [np.nan for _ in range(N_SUBSPACE)]
-            for k in range(len(gk)):
-                status["quadrature"] = k
-                for im0 in range(N_SUBSPACE):
-                    Qquad_k = calculateQuadrature(
-                        A, Y[im0], zs[k], eRadius, thetas[k], wk[k],
-                        contourEllipseFactor)
-                    Q = updateQ(Q, im0, Qquad_k, k)
+        with timer.phase("quadrature_solves"):
+            if use_batch:
+                status["quadrature"] = len(gk) - 1
+                Q = _filtered_subspace_batched(
+                    A, Y, gk, wk, thetas, zs, eRadius, contourEllipseFactor)
+            else:
+                Q = [np.nan for _ in range(N_SUBSPACE)]
+                for k in range(len(gk)):
+                    status["quadrature"] = k
+                    for im0 in range(N_SUBSPACE):
+                        Qquad_k = calculateQuadrature(
+                            A, Y[im0], zs[k], eRadius, thetas[k], wk[k],
+                            contourEllipseFactor)
+                        Q = updateQ(Q, im0, Qquad_k, k)
 
         # Rayleigh-Ritz in the Löwdin-orthogonalized filtered subspace
-        Smat = typeClass.overlapMatrix(Q)
-        Hmat = typeClass.matrixRepresentation(A, Q)
+        with timer.phase("rayleigh_ritz"):
+            Smat = typeClass.overlapMatrix(Q)
+            Hmat = typeClass.matrixRepresentation(A, Q)
 
         printObj.writeFile("iteration", status)
         printObj.writeFile("overlap", Smat)
@@ -222,6 +226,7 @@ def feastDiagonalization(A, Y: List[AbstractVector],
         N_SUBSPACE = len(Y)
         ref_ev = ev
 
+    status["timers"] = timer.summary()
     printObj.writeFile("results", ev)
     printObj.fileFooter()
     printObj.close()

@@ -41,6 +41,7 @@ from ..utils.subspace import (
 )
 from ..utils.reporting import LanczosReporter
 from ..utils import checkpointing
+from ..utils.profiling import PhaseTimer
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +234,7 @@ def inexactLanczosDiagonalization(
     uSH = None
     lindepProblem = False
     continueIteration = True
+    timer = PhaseTimer()
 
     for outerIter in range(maxit):
         status["outerIter"] = outerIter
@@ -245,18 +247,19 @@ def inexactLanczosDiagonalization(
             # Generate subspace: nBlock inexact shifted solves
             #
             seeds = [Ylist[-iBlock] for iBlock in range(1, nBlock + 1)]
-            if batchBlockSolves and nBlock > 1:
-                newVectors, nonzero = generateSubspaceBlock(
-                    Hsolve, seeds, sigma, eConv)
-            else:
-                newVectors = []
-                nonzero = True
-                for seed in seeds:
-                    out, nonzero = generateSubspace(Hsolve, seed, sigma, eConv)
-                    if not nonzero:
-                        newVectors = [out]
-                        break
-                    newVectors.append(out)
+            with timer.phase("solve"):
+                if batchBlockSolves and nBlock > 1:
+                    newVectors, nonzero = generateSubspaceBlock(
+                        Hsolve, seeds, sigma, eConv)
+                else:
+                    newVectors = []
+                    nonzero = True
+                    for seed in seeds:
+                        out, nonzero = generateSubspace(Hsolve, seed, sigma, eConv)
+                        if not nonzero:
+                            newVectors = [out]
+                            break
+                        newVectors.append(out)
             if not nonzero:
                 status["zeroVector"] = True
                 warnings.warn(
@@ -269,8 +272,9 @@ def inexactLanczosDiagonalization(
             lindepProblem = False
             for iBlock in range(nBlock):
                 status["iBlock"] = iBlock
-                newOrthVec = typeClass.orthogonalize_against_set(
-                    newVectors[iBlock], Ylist)
+                with timer.phase("orthogonalize"):
+                    newOrthVec = typeClass.orthogonalize_against_set(
+                        newVectors[iBlock], Ylist)
                 if newOrthVec is None:
                     lindepProblem = True
                     status["lindep"] = True
@@ -282,8 +286,9 @@ def inexactLanczosDiagonalization(
                     break
                 Ylist.append(newOrthVec.compress())
                 status["KSmaxD"].append(Ylist[-1].maxD)
-                Smat = typeClass.extendOverlapMatrix(Ylist, Smat)
-                Hmat = typeClass.extendMatrixRepresentation(H, Ylist, Hmat)
+                with timer.phase("extend_subspace"):
+                    Smat = typeClass.extendOverlapMatrix(Ylist, Smat)
+                    Hmat = typeClass.extendMatrixRepresentation(H, Ylist, Hmat)
 
             printObj.writeFile("iteration", status)
             printObj.writeFile("overlap", Smat)
@@ -301,6 +306,8 @@ def inexactLanczosDiagonalization(
             # run; the restart + futile-restart machinery below needs the
             # flagged-but-continuing path to be reachable.)
             #
+            timer_diag = timer.phase("diagonalize")
+            timer_diag.__enter__()
             status, uS = lowdinOrthoMatrix(Smat, status)
             if status["lindep"] and printObj.writeOut:
                 warnings.warn(
@@ -314,6 +321,7 @@ def inexactLanczosDiagonalization(
             assert len(idx) == len(ev), f"{len(ev)=} {len(idx)=}"
             ev = ev[idx]
             uSH = uSH[:, idx]
+            timer_diag.__exit__(None, None, None)
             #
             # Convergence / continuation checks
             #
@@ -370,6 +378,7 @@ def inexactLanczosDiagonalization(
             status["fitmaxD"] = [item.maxD for item in Ylist]
             printObj.writeFile("fitmaxD", status)
 
+    status["timers"] = timer.summary()
     printObj.writeFile("results", ev)
     printObj.fileFooter()
     printObj.close()

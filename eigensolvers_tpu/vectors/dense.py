@@ -37,8 +37,14 @@ from ..ops import linear_solvers as ls
 
 
 def _pad_rows(m: int) -> int:
-    """Next power of two >= m (compile-cache friendliness)."""
-    p = 1
+    """Zero-pad row count: next power of two >= max(m, 32).
+
+    The growing Krylov basis then hits very few distinct compiled shapes
+    (32, 64, 128, ...), which matters doubly on remote-compile platforms
+    where every new shape costs a compile round-trip.  The wasted rows are
+    zeros (self-guarded in the kernels) and cost ~nothing on the MXU.
+    """
+    p = 32
     while p < m:
         p *= 2
     return p
@@ -67,6 +73,35 @@ def _matrep_kernel(op, V):
 @jax.jit
 def _lincomb_kernel(V, coeffs):
     return coeffs @ V
+
+
+@jax.jit
+def _norm_kernel(x):
+    return jnp.linalg.norm(x.ravel())
+
+
+@jax.jit
+def _normalize_kernel(x):
+    return x / jnp.linalg.norm(x.ravel())
+
+
+@functools.partial(jax.jit, static_argnames=("conj",))
+def _vdot_kernel(a, b, conj=True):
+    if conj:
+        return jnp.vdot(a.ravel(), b.ravel())
+    return jnp.dot(a.ravel(), b.ravel())
+
+
+@jax.jit
+def _ext_col_kernel(V, w):
+    """col_i = <v_i | w> for stacked rows V."""
+    return V.conj() @ w
+
+
+@jax.jit
+def _ext_col_op_kernel(op, V, w):
+    """col_i = <v_i | H w>."""
+    return V.conj() @ op.matvec(w)
 
 
 @jax.jit
@@ -154,11 +189,11 @@ class JaxVector(AbstractVector):
         return int(self.array.size)
 
     def normalize(self) -> "JaxVector":
-        self.array = self.array / jnp.linalg.norm(self.array.ravel())
+        self.array = _normalize_kernel(self.array)
         return self
 
     def norm(self) -> float:
-        return float(jnp.linalg.norm(self.array.ravel()))
+        return float(_norm_kernel(self.array))
 
     def real(self) -> "JaxVector":
         return type(self)(jnp.real(self.array), self.options)
@@ -167,12 +202,7 @@ class JaxVector(AbstractVector):
         return type(self)(jnp.conj(self.array), self.options)
 
     def vdot(self, other, conjugate: bool = True):
-        if conjugate:
-            return complex(jnp.vdot(self.array.ravel(), other.array.ravel())) \
-                if np.issubdtype(self.dtype, np.complexfloating) or \
-                   np.issubdtype(other.dtype, np.complexfloating) \
-                else float(jnp.vdot(self.array.ravel(), other.array.ravel()))
-        val = jnp.dot(self.array.ravel(), other.array.ravel())
+        val = _vdot_kernel(self.array, other.array, conj=conjugate)
         return complex(val) if jnp.iscomplexobj(val) else float(val)
 
     def copy(self) -> "JaxVector":
@@ -243,7 +273,7 @@ class JaxVector(AbstractVector):
     def extendOverlapMatrix(cls, vectors: List["JaxVector"], overlap: np.ndarray) -> np.ndarray:
         m = len(vectors)
         V = cls._stack(vectors, pad_to=_pad_rows(m))
-        col = np.asarray(V.conj() @ V[m - 1])[:m]  # col_i = <v_i | v_new>
+        col = np.asarray(_ext_col_kernel(V, V[m - 1]))[:m]  # col_i = <v_i | v_new>
         overlap = np.append(overlap, col[None, :-1].conj(), axis=0)
         overlap = np.append(overlap, col[:, None], axis=1)
         return overlap
@@ -254,8 +284,8 @@ class JaxVector(AbstractVector):
         m = len(vectors)
         op = as_operator(operator)
         V = cls._stack(vectors, pad_to=_pad_rows(m))
-        ket = op.matvec(vectors[-1].array).ravel().astype(V.dtype)
-        col = np.asarray(V.conj() @ ket)[:m]       # col_i = <v_i | A v_new>
+        ket = vectors[-1].array.ravel().astype(V.dtype)
+        col = np.asarray(_ext_col_op_kernel(op, V, ket))[:m]  # <v_i | A v_new>
         opMat = np.append(opMat, col[None, :-1].conj(), axis=0)
         opMat = np.append(opMat, col[:, None], axis=1)
         return opMat
