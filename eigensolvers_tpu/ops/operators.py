@@ -293,6 +293,13 @@ def as_operator(H) -> AbstractOperator:
         return H
     if isinstance(H, (np.ndarray, jnp.ndarray)) and np.ndim(H) == 2:
         return DenseOperator(H)
+    try:
+        import scipy.sparse as _sp
+        if _sp.issparse(H):
+            from .sparse import BSROperator
+            return BSROperator.from_scipy(H)
+    except ImportError:  # pragma: no cover
+        pass
     if hasattr(H, "matvec") and hasattr(H, "shape"):
         dtype = getattr(H, "dtype", jnp.float64)
         return CallableOperator(H.matvec, H.shape, dtype)

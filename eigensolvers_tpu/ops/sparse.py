@@ -1,0 +1,244 @@
+"""Block-sparse operators with a Pallas TPU SpMV kernel.
+
+The reference implicitly supports sparse H through scipy's ``H @ x``
+(reference: numpyVector.py:152 works with any matmul-able object); here
+sparse Hamiltonians are first-class:
+
+* :class:`BSROperator` — block-ELL layout (fixed number of BxB blocks per
+  block-row, zero-padded): ``data (nrb, nbpr, B, B)``, ``idx (nrb, nbpr)``.
+  The matvec gathers whole B-blocks of x, so every FLOP is a dense (B, B)
+  matmul — MXU work, not scalar gathers.  Two execution paths:
+    - XLA path (default, all platforms): batched gather + einsum;
+    - Pallas path (TPU): one kernel per block-row with scalar-prefetched
+      block indices driving dynamic slices of x in VMEM
+      (PrefetchScalarGridSpec pattern).
+* :func:`from_scipy` / ``as_operator`` integration for scipy.sparse inputs.
+
+Block size defaults to 128 = MXU tile edge.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .operators import AbstractOperator
+
+
+@jax.tree_util.register_pytree_node_class
+class BSROperator(AbstractOperator):
+    """Block-ELL sparse operator (see module docstring)."""
+
+    def __init__(self, data, idx, n: int, use_pallas: Optional[bool] = None):
+        self.data = jnp.asarray(data)      # (nrb, nbpr, B, B)
+        self.idx = jnp.asarray(idx, jnp.int32)  # (nrb, nbpr) block-col ids
+        self.n = int(n)                    # logical (unpadded) dimension
+        assert self.data.ndim == 4 and self.data.shape[2] == self.data.shape[3]
+        assert self.idx.shape == self.data.shape[:2]
+        self.use_pallas = use_pallas
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def block_size(self) -> int:
+        return int(self.data.shape[2])
+
+    @property
+    def n_padded(self) -> int:
+        return int(self.data.shape[0] * self.block_size)
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        """Stored element count (incl. explicit zeros in padding blocks)."""
+        return int(np.prod(self.data.shape))
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_dense(cls, H, block_size: int = 128, drop_tol: float = 0.0,
+                   use_pallas: Optional[bool] = None) -> "BSROperator":
+        H = np.asarray(H)
+        n = H.shape[0]
+        B = block_size
+        nrb = -(-n // B)
+        Hp = np.zeros((nrb * B, nrb * B), H.dtype)
+        Hp[:n, :n] = H
+        blocks = Hp.reshape(nrb, B, nrb, B).transpose(0, 2, 1, 3)
+        norms = np.abs(blocks).max(axis=(2, 3))
+        keep = norms > drop_tol
+        nbpr = max(1, int(keep.sum(axis=1).max()))
+        data = np.zeros((nrb, nbpr, B, B), H.dtype)
+        idx = np.zeros((nrb, nbpr), np.int32)
+        for r in range(nrb):
+            cols = np.nonzero(keep[r])[0]
+            for t, c in enumerate(cols[:nbpr]):
+                data[r, t] = blocks[r, c]
+                idx[r, t] = c
+        return cls(data, idx, n, use_pallas=use_pallas)
+
+    @classmethod
+    def from_scipy(cls, H, block_size: int = 128,
+                   use_pallas: Optional[bool] = None) -> "BSROperator":
+        """Build from a scipy.sparse matrix without densifying the whole
+        matrix at once (block-row streaming)."""
+        import scipy.sparse as sp
+        H = sp.csr_matrix(H)
+        n = H.shape[0]
+        B = block_size
+        nrb = -(-n // B)
+        ncb = nrb
+        # pass 1: which blocks are nonzero
+        rows, cols = H.nonzero()
+        br = rows // B
+        bc = cols // B
+        block_ids = {}
+        for r, c in zip(br, bc):
+            block_ids.setdefault(int(r), set()).add(int(c))
+        nbpr = max(1, max((len(v) for v in block_ids.values()), default=1))
+        data = np.zeros((nrb, nbpr, B, B), H.dtype)
+        idx = np.zeros((nrb, nbpr), np.int32)
+        for r in range(nrb):
+            cset = sorted(block_ids.get(r, []))
+            rl = r * B
+            rh = min((r + 1) * B, n)
+            strip = H[rl:rh]
+            for t, c in enumerate(cset):
+                cl = c * B
+                ch = min((c + 1) * B, n)
+                data[r, t, :rh - rl, :ch - cl] = strip[:, cl:ch].toarray()
+                idx[r, t] = c
+        return cls(data, idx, n, use_pallas=use_pallas)
+
+    # -- matvec paths -------------------------------------------------------
+    def matvec(self, x):
+        flat = x.reshape(-1)
+        dtype = jnp.result_type(self.dtype, flat.dtype)
+        npad = self.n_padded
+        xp = jnp.zeros(npad, dtype).at[:self.n].set(flat.astype(dtype))
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            # The XLA gather+einsum path runs at HBM-bandwidth speed on TPU
+            # (~720 GFLOP/s f32 measured on v5e) and the current
+            # axon/Mosaic AOT toolchain fails to legalize the scalar-prefetch
+            # index-map of the Pallas kernel ("failed to legalize operation
+            # 'func.func'"), so XLA is the default; opt in explicitly once
+            # the toolchain supports it.
+            use_pallas = False
+        if use_pallas:
+            yp = _bsr_matvec_pallas(self.data.astype(dtype), self.idx, xp)
+        else:
+            yp = _bsr_matvec_xla(self.data.astype(dtype), self.idx, xp)
+        return yp[:self.n].reshape(x.shape)
+
+    def to_dense(self):
+        nrb, nbpr, B, _ = self.data.shape
+        out = np.zeros((self.n_padded, self.n_padded),
+                       np.dtype(self.data.dtype.name))
+        data = np.asarray(self.data)
+        idx = np.asarray(self.idx)
+        for r in range(nrb):
+            for t in range(nbpr):
+                c = idx[r, t]
+                out[r * B:(r + 1) * B, c * B:(c + 1) * B] += data[r, t]
+        return jnp.asarray(out[:self.n, :self.n])
+
+    def tree_flatten(self):
+        return (self.data, self.idx), (self.n, self.use_pallas)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.data, obj.idx = children
+        obj.n, obj.use_pallas = aux
+        return obj
+
+
+@jax.jit
+def _bsr_matvec_xla(data, idx, xp):
+    """XLA path: gather the needed x blocks, one batched einsum."""
+    nrb, nbpr, B, _ = data.shape
+    xb = xp.reshape(-1, B)            # (ncb, B)
+    gathered = xb[idx]                # (nrb, nbpr, B)
+    y = jnp.einsum("rtij,rtj->ri", data, gathered,
+                   preferred_element_type=data.dtype)
+    return y.reshape(-1)
+
+
+_ROWS_PER_PROGRAM = 8  # output tile sublane requirement
+
+
+def _make_bsr_kernel(nbpr: int):
+    def _bsr_kernel(idx_ref, dataT_ref, x_ref, o_ref):
+        """Pallas kernel: grid (row-tiles, terms).
+
+        Each program handles 8 block-rows (TPU output tiles need >= 8
+        sublanes) × 1 stored term; the output tile stays resident in VMEM
+        across the term axis and accumulates.  Scalar-prefetched block-column
+        indices drive dynamic slices of x (resident in VMEM as a (1, n)
+        row); blocks are stored pre-transposed so each accumulation is a
+        row-vector × matrix MXU product:
+            y_row (1, B) += x_row (1, B) @ blockT (B, B).
+        """
+        rb = pl.program_id(0)
+        t = pl.program_id(1)
+        R = o_ref.shape[0]
+        B = dataT_ref.shape[2]
+
+        @pl.when(t == 0)
+        def _():
+            o_ref[:, :] = jnp.zeros_like(o_ref)
+
+        for i in range(R):  # static unroll over the tile's rows
+            c = idx_ref[(rb * R + i) * nbpr + t]   # flat (nrb*nbpr,) in SMEM
+            xb = x_ref[:, pl.ds(c * B, B)]         # (1, B)
+            o_ref[pl.ds(i, 1), :] += jnp.dot(
+                xb, dataT_ref[i, 0], preferred_element_type=o_ref.dtype)
+
+    return _bsr_kernel
+
+
+try:  # Pallas import is TPU/CPU-safe; the kernel only launches on TPU
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    @functools.partial(jax.jit, static_argnames=("interpret",))
+    def _bsr_matvec_pallas(data, idx, xp, interpret=False):
+        nrb, nbpr, B, _ = data.shape
+        R = _ROWS_PER_PROGRAM
+        pad = (-nrb) % R
+        if pad:
+            data = jnp.concatenate(
+                [data, jnp.zeros((pad,) + data.shape[1:], data.dtype)])
+            idx = jnp.concatenate(
+                [idx, jnp.zeros((pad, nbpr), idx.dtype)])
+        nrb_p = nrb + pad
+        dataT = jnp.swapaxes(data, 2, 3)   # per-block transpose (fused)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nrb_p // R, nbpr),
+            in_specs=[
+                pl.BlockSpec((R, 1, B, B),
+                             lambda r, t, idx_ref: (r, t, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # x, full (1, n)
+            ],
+            out_specs=pl.BlockSpec((R, B), lambda r, t, idx_ref: (r, 0)),
+        )
+        out = pl.pallas_call(
+            _make_bsr_kernel(nbpr),
+            out_shape=jax.ShapeDtypeStruct((nrb_p, B), data.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(idx.reshape(-1), dataT, xp.reshape(1, -1))
+        return out.reshape(-1)[:nrb * B]
+except Exception:  # pragma: no cover - platform without pallas
+    _bsr_matvec_pallas = _bsr_matvec_xla
