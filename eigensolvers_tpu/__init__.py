@@ -33,6 +33,7 @@ from .ops.operators import (
     AbstractOperator,
     DenseOperator,
     DiagonalOperator,
+    GroupedSoPOperator,
     SumOfProductOperator,
     as_operator,
 )
@@ -59,6 +60,7 @@ __all__ = [
     "AbstractOperator",
     "DenseOperator",
     "DiagonalOperator",
+    "GroupedSoPOperator",
     "SumOfProductOperator",
     "JaxVector",
     "LINDEP_DEFAULT_VALUE",

@@ -1,1 +1,4 @@
-"""I/O: operator file parsing helpers and structured outputs."""
+"""I/O runtime: native async checkpoint writer."""
+from .fastwriter import AsyncWriter
+
+__all__ = ["AsyncWriter"]

@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.operators import SumOfProductOperator
+from ..ops.operators import GroupedSoPOperator, SumOfProductOperator
 from ..utils.units import unit2au
 from .bases import BasisBase, Electronic
 
@@ -202,9 +202,15 @@ def _factor_matrix(label: str, basis: BasisBase) -> np.ndarray:
 
 def build_sop_operator(spec: OpSpec, bases: Sequence[BasisBase],
                        dtype=np.float64,
-                       term_chunk: Optional[int] = None) -> SumOfProductOperator:
-    """Materialize the parsed spec as a :class:`SumOfProductOperator` over
-    the given per-mode bases (order matching ``spec.mode_labels``)."""
+                       term_chunk: Optional[int] = None,
+                       group_by_support: bool = True):
+    """Materialize the parsed spec as a sum-of-products operator over the
+    given per-mode bases (order matching ``spec.mode_labels``).
+
+    By default terms are grouped by their active-mode support
+    (:class:`GroupedSoPOperator`) so identity factors are never applied —
+    a several-fold FLOP saving for the molecular Hamiltonians; pass
+    ``group_by_support=False`` for the plain stacked form."""
     assert len(bases) == spec.nModes, \
         f"need {spec.nModes} bases ({spec.mode_labels}), got {len(bases)}"
     dims = [b.N for b in bases]
@@ -213,6 +219,9 @@ def build_sop_operator(spec: OpSpec, bases: Sequence[BasisBase],
         facs = {d: np.asarray(_factor_matrix(lbl, bases[d]), dtype=dtype)
                 for d, lbl in t.factors.items()}
         term_list.append((t.coeff, facs))
+    if group_by_support:
+        return GroupedSoPOperator.from_terms(
+            nDim=spec.nModes, dims=dims, terms=term_list, dtype=dtype)
     return SumOfProductOperator.from_terms(
         nDim=spec.nModes, dims=dims, terms=term_list, dtype=dtype,
         term_chunk=term_chunk)

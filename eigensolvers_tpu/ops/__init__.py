@@ -1,9 +1,11 @@
 """Operators and jitted compute kernels (the TPU hot path)."""
 from .operators import (AbstractOperator, CallableOperator, DenseOperator,
-                        DiagonalOperator, SumOfProductOperator, as_operator)
+                        DiagonalOperator, GroupedSoPOperator,
+                        SumOfProductOperator, as_operator)
 from .sparse import BSROperator
 from . import linear_solvers
 
 __all__ = ["AbstractOperator", "CallableOperator", "DenseOperator",
-           "DiagonalOperator", "SumOfProductOperator", "BSROperator",
+           "DiagonalOperator", "GroupedSoPOperator", "SumOfProductOperator",
+           "BSROperator",
            "as_operator", "linear_solvers"]

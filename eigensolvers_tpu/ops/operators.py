@@ -248,6 +248,154 @@ class SumOfProductOperator(AbstractOperator):
 
 
 @jax.tree_util.register_pytree_node_class
+class GroupedSoPOperator(AbstractOperator):
+    """Sum-of-products operator with terms grouped by mode support.
+
+    Physical SoP Hamiltonians touch only a few modes per term (the MCTDH
+    .op models: 2-4 active of 12 modes); applying stacked identity factors
+    for the inactive modes (as the plain :class:`SumOfProductOperator`
+    does) wastes most of the FLOPs.  Here terms sharing the same active-mode
+    set form one batched group, and a matvec contracts only the active
+    modes of each group; pure-identity terms collapse to one scalar.
+
+    ``factors`` (property) materializes the full identity-padded stacked
+    form for consumers that need it (MPO construction, sharding helpers).
+    """
+
+    def __init__(self, dims: Sequence[int], groups, id_coeff=0.0):
+        """:param groups: list of (modes tuple, [per-active-mode arrays
+        (S_g, n_d, n_d)]); :param id_coeff: summed coefficient of the pure
+        identity terms."""
+        self._dims = tuple(int(d) for d in dims)
+        self.groups = [(tuple(m), [jnp.asarray(f) for f in facs])
+                       for m, facs in groups]
+        self.id_coeff = jnp.asarray(id_coeff)
+
+    @classmethod
+    def from_terms(cls, nDim: int, dims: Sequence[int], terms, dtype=None):
+        """Same term format as :meth:`SumOfProductOperator.from_terms`."""
+        dtype = dtype or jnp.float64
+        by_support = {}
+        id_coeff = 0.0
+        for coeff, facs in terms:
+            modes = tuple(sorted(facs.keys()))
+            if not modes:
+                id_coeff += coeff
+                continue
+            by_support.setdefault(modes, []).append((coeff, facs))
+        groups = []
+        for modes, group_terms in sorted(by_support.items()):
+            stacked = []
+            for j, d in enumerate(modes):
+                mats = []
+                for coeff, facs in group_terms:
+                    m = np.asarray(facs[d], dtype=dtype)
+                    if j == 0:
+                        m = m * coeff
+                    mats.append(m)
+                stacked.append(jnp.asarray(np.stack(mats)))
+            groups.append((modes, stacked))
+        return cls(dims, groups, id_coeff=np.asarray(id_coeff, dtype))
+
+    @property
+    def dims(self):
+        return self._dims
+
+    @property
+    def nDim(self):
+        return len(self._dims)
+
+    @property
+    def nSum(self):
+        return sum(g[1][0].shape[0] for g in self.groups) + 1
+
+    @property
+    def shape(self):
+        n = int(np.prod(self._dims))
+        return (n, n)
+
+    @property
+    def dtype(self):
+        arrs = [f for _, facs in self.groups for f in facs]
+        return jnp.result_type(self.id_coeff, *arrs) if arrs else \
+            self.id_coeff.dtype
+
+    @property
+    def factors(self):
+        """Full identity-padded stacked factors (for MPO/sharding
+        consumers); the pure-identity coefficient becomes one extra term."""
+        S_total = sum(facs[0].shape[0] for _, facs in self.groups) + 1
+        out = []
+        for d, n in enumerate(self._dims):
+            eye = np.eye(n)
+            mats = []
+            for modes, facs in self.groups:
+                S_g = facs[0].shape[0]
+                if d in modes:
+                    mats.append(np.asarray(facs[modes.index(d)]))
+                else:
+                    mats.append(np.broadcast_to(eye, (S_g, n, n)))
+            idc = np.broadcast_to(eye, (1, n, n)).copy()
+            if d == 0:
+                idc = idc * np.asarray(self.id_coeff)
+            mats.append(idc)
+            out.append(jnp.asarray(np.concatenate(mats)))
+        return out
+
+    def matvec(self, x):
+        dims = self._dims
+        xt = x.reshape(dims)
+        y = self.id_coeff * xt
+        for modes, facs in self.groups:
+            S_g = facs[0].shape[0]
+            xb = jnp.broadcast_to(xt, (S_g,) + dims)
+            for mode, f in zip(modes, facs):
+                xb = jnp.moveaxis(xb, mode + 1, -1)
+                xb = jnp.einsum("sij,s...j->s...i", f, xb,
+                                preferred_element_type=jnp.result_type(f, xb))
+                xb = jnp.moveaxis(xb, -1, mode + 1)
+            y = y + xb.sum(axis=0)
+        return y.reshape(x.shape)
+
+    def to_dense(self):
+        n = self.shape[0]
+        dt = np.result_type(*(np.asarray(f).dtype
+                              for _, facs in self.groups for f in facs)) \
+            if self.groups else np.float64
+        out = np.asarray(self.id_coeff, dt) * np.eye(n, dtype=dt)
+        for modes, facs in self.groups:
+            S_g = facs[0].shape[0]
+            for s in range(S_g):
+                mats = []
+                for d, nd in enumerate(self._dims):
+                    if d in modes:
+                        mats.append(np.asarray(facs[modes.index(d)][s]))
+                    else:
+                        mats.append(np.eye(nd, dtype=dt))
+                out = out + reduce(np.kron, mats)
+        return jnp.asarray(out)
+
+    def tree_flatten(self):
+        children = [self.id_coeff] + [f for _, facs in self.groups
+                                      for f in facs]
+        aux = (self._dims, tuple((m, len(facs)) for m, facs in self.groups))
+        return tuple(children), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj._dims, meta = aux
+        obj.id_coeff = children[0]
+        rest = list(children[1:])
+        groups = []
+        for modes, nfac in meta:
+            groups.append((modes, rest[:nfac]))
+            rest = rest[nfac:]
+        obj.groups = groups
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
 class CallableOperator(AbstractOperator):
     """Wraps a jittable matvec callable (the analogue of scipy
     LinearOperator).  ``fn`` must be traceable; captured arrays won't be

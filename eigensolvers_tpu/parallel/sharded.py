@@ -25,7 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..vectors.dense import JaxVector
 from ..ops.operators import (AbstractOperator, DenseOperator,
-                             SumOfProductOperator, as_operator)
+                             GroupedSoPOperator, SumOfProductOperator,
+                             as_operator)
 from .mesh import make_mesh, operator_row_sharding, vector_sharding
 
 
@@ -106,4 +107,10 @@ def shard_operator(H, mesh: Mesh) -> AbstractOperator:
         new.term_chunk = op.term_chunk
         new._true_nSum = op._true_nSum
         return new
+    if isinstance(op, GroupedSoPOperator):
+        rep = NamedSharding(mesh, P())
+        groups = [(m, [jax.device_put(f, rep) for f in facs])
+                  for m, facs in op.groups]
+        return GroupedSoPOperator(op.dims, groups,
+                                  id_coeff=jax.device_put(op.id_coeff, rep))
     return op

@@ -18,16 +18,19 @@ import numpy as np
 
 
 def save_checkpoint(saveDir: str, tag, vectors: List, status: dict,
-                    eigencoefficients=None, eigenvalues=None):
+                    eigencoefficients=None, eigenvalues=None,
+                    async_writer=None):
     """Save a Krylov basis plus solver metadata under ``saveDir``.
 
     Layout: ``{saveDir}/vec_{tag}_{i}.npz`` per vector plus
     ``{saveDir}/meta_{tag}.npz``.
+
+    :param async_writer: an :class:`eigensolvers_tpu.io.fastwriter.AsyncWriter`
+        — snapshots are serialized in memory and handed to its native worker
+        thread, so the solver loop doesn't block on disk.  Call
+        ``async_writer.flush()`` before relying on the files.
     """
     os.makedirs(saveDir, exist_ok=True)
-    for i, v in enumerate(vectors):
-        state = v.to_state_dict()
-        np.savez(os.path.join(saveDir, f"vec_{tag}_{i}.npz"), **state)
     meta = {
         "n_vectors": np.asarray(len(vectors)),
         "status_json": np.asarray(json.dumps(_jsonable(status))),
@@ -36,6 +39,18 @@ def save_checkpoint(saveDir: str, tag, vectors: List, status: dict,
         meta["eigencoefficients"] = np.asarray(eigencoefficients)
     if eigenvalues is not None:
         meta["eigenvalues"] = np.asarray(eigenvalues)
+
+    if async_writer is not None:
+        for i, v in enumerate(vectors):
+            async_writer.submit_npz(
+                os.path.join(saveDir, f"vec_{tag}_{i}.npz"),
+                **v.to_state_dict())
+        async_writer.submit_npz(os.path.join(saveDir, f"meta_{tag}.npz"),
+                                **meta)
+        return
+    for i, v in enumerate(vectors):
+        np.savez(os.path.join(saveDir, f"vec_{tag}_{i}.npz"),
+                 **v.to_state_dict())
     np.savez(os.path.join(saveDir, f"meta_{tag}.npz"), **meta)
 
 
