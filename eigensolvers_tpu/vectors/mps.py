@@ -484,6 +484,19 @@ class MPSVector(AbstractVector):
         sign = -1.0 if reverseGF else 1.0
         complex_shift = bool(np.iscomplexobj(np.asarray(sigma)))
 
+        if opts.get("method", "krylov") == "als":
+            # DMRG-style two-site sweeps (the reference's LinearSystem-sweep
+            # analog, ttnsVector.py:169-196) with SVD bond adaptation
+            from .mps_sweeps import als_solve
+            x0t = b.tensors if x0 is None else x0.tensors
+            xt = als_solve(mpo.tensors, b.tensors, sigma, x0=x0t, sign=sign,
+                           maxD=maxD, eps=eps,
+                           nSweep=opts.get("nSweep", 20),
+                           convTol=opts.get("convTol", rtol),
+                           local_tol=opts.get("siteTol", max(rtol * 1e-2, 1e-10)),
+                           local_maxiter=maxiter)
+            return cls(xt, b.options)
+
         def comp(ts):
             out, _ = mps_compress(ts, maxD=maxD, eps=eps)
             return out

@@ -1,0 +1,209 @@
+"""Two-site ALS (DMRG-style) sweep solver for shifted linear systems in MPS
+form: (sign) * (sigma*I - H) x = b.
+
+This is the algorithmic counterpart of the reference's external sweep engine
+(reference: ttnsVector.py:169-196 builds ``SumOfOperators([H, sigma*I])`` and
+runs a ``ttns2.sweepAlgorithms.LinearSystem`` sweep): the solution MPS is
+optimized two sites at a time against exact left/right environments of the
+MPO and the RHS, each local system solved iteratively, and the two-site
+tensor split by SVD with ``maxD``/``eps`` truncation — which is where bond
+adaptation (the reference's ``TruncationEps``) happens.
+
+Conventions:
+  * MPS site tensors (Dl, n, Dr); MPO site tensors (Wl, n_out, n_in, Wr)
+    (as built by :class:`eigensolvers_tpu.vectors.mps.MPO`);
+  * the solver works on the operator A = sign*(sigma*I - H) directly through
+    its environments — H is never materialized.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import scipy.sparse.linalg as spla
+
+
+def _env_left_op(L, xk_bra, Wk, xk_ket):
+    """L (a_bra, w, a_ket) extended by one site of <x|W|x>."""
+    # t1: (w, a_ket, n_bra, A_bra)
+    t1 = np.tensordot(L, xk_bra.conj(), axes=([0], [0]))   # (w, a_ket, n, A)
+    # contract W over (w, n_bra): W (w, n_out, n_in, w')
+    t2 = np.tensordot(t1, Wk, axes=([0, 2], [0, 1]))       # (a_ket, A, n_in, w')
+    # contract ket tensor over (a_ket, n_in)
+    t3 = np.tensordot(t2, xk_ket, axes=([0, 2], [0, 1]))   # (A, w', A_ket)
+    return t3
+
+
+def _env_right_op(R, xk_bra, Wk, xk_ket):
+    """R (b_bra, w, b_ket) extended leftwards."""
+    t1 = np.tensordot(xk_bra.conj(), R, axes=([2], [0]))   # (A, n, w, b_ket)
+    t2 = np.tensordot(Wk, t1, axes=([1, 3], [1, 2]))       # (w_l, n_in, A, b_ket)
+    t3 = np.tensordot(t2, xk_ket, axes=([1, 3], [1, 2]))   # (w_l, A, B_ket→) wait
+    # xk_ket (B, n_in, b_ket): contract n_in and b_ket
+    return np.transpose(t3, (1, 0, 2))                     # (A_bra, w_l, B_ket)
+
+
+def _env_left_rhs(Lb, xk_bra, bk):
+    """Lb (a_bra, c) extended by <x|b> one site."""
+    t1 = np.tensordot(Lb, xk_bra.conj(), axes=([0], [0]))  # (c, n, A)
+    return np.tensordot(t1, bk, axes=([0, 1], [0, 1]))     # (A, c')
+
+
+def _env_right_rhs(Rb, xk_bra, bk):
+    t1 = np.tensordot(xk_bra.conj(), Rb, axes=([2], [0]))  # (A, n, c)
+    return np.tensordot(t1, bk, axes=([1, 2], [1, 2]))     # (A, C)
+
+
+def _local_matvec(L, W1, W2, R, v, sigma, sign):
+    """Apply sign*(sigma*I - H_eff) to the two-site tensor v
+    (Dl, n1, n2, Dr)."""
+    t = np.tensordot(L, v, axes=([2], [0]))                # (a_bra, w, n1, n2, Dr)
+    t = np.tensordot(t, W1, axes=([1, 2], [0, 2]))         # (a_bra, n2, Dr, m1, w')
+    t = np.tensordot(t, W2, axes=([4, 1], [0, 2]))         # (a_bra, Dr, m1, m2, w'')
+    t = np.tensordot(t, R, axes=([4, 1], [1, 2]))          # (a_bra, m1, m2, b_bra)
+    Hv = np.transpose(t, (0, 1, 2, 3))
+    return sign * (sigma * v - Hv)
+
+
+def _local_rhs(Lb, b1, b2, Rb):
+    """Project the RHS onto the two-site basis: (Dl, n1, n2, Dr)."""
+    t = np.tensordot(Lb, b1, axes=([1], [0]))              # (A, n1, c)
+    t = np.tensordot(t, b2, axes=([2], [0]))               # (A, n1, n2, c')
+    t = np.tensordot(t, Rb, axes=([3], [1]))               # (A, n1, n2, B)
+    return t
+
+
+def _split_two_site(theta, maxD: Optional[int], eps: float):
+    """SVD-split a solved two-site tensor; returns (left (Dl,n1,k),
+    right (k,n2,Dr)) with the singular values absorbed right."""
+    Dl, n1, n2, Dr = theta.shape
+    mat = theta.reshape(Dl * n1, n2 * Dr)
+    u, s, vh = np.linalg.svd(mat, full_matrices=False)
+    keep = len(s)
+    if eps > 0.0:
+        tot = np.sum(s ** 2)
+        if tot > 0:
+            csum = np.cumsum((s ** 2)[::-1])[::-1]
+            keep = max(1, int(np.sum(csum > eps ** 2 * tot)))
+    if maxD is not None:
+        keep = min(keep, maxD)
+    u = u[:, :keep]
+    sv = (s[:keep, None] * vh[:keep])
+    return u.reshape(Dl, n1, keep), sv.reshape(keep, n2, Dr)
+
+
+def als_solve(mpo_tensors: List[np.ndarray], b: List[np.ndarray], sigma,
+              x0: Optional[List[np.ndarray]] = None,
+              sign: float = 1.0,
+              maxD: Optional[int] = 64, eps: float = 1e-10,
+              nSweep: int = 20, convTol: float = 1e-6,
+              local_tol: float = 1e-8, local_maxiter: int = 200,
+              dtype=None) -> List[np.ndarray]:
+    """Solve sign*(sigma*I - H) x = b by two-site ALS sweeps.
+
+    :param mpo_tensors: MPO of H, site tensors (Wl, n_out, n_in, Wr)
+    :param b: RHS MPS
+    :param x0: initial guess (default: copy of b, reference convention
+        ttnsVector.py:173-176)
+    :param convTol: sweep convergence on the relative change of x between
+        sweeps (overlap-based)
+    :returns: solution MPS (right-canonical-ish, bonds adapted by SVD)
+    """
+    Lsites = len(b)
+    dtype = dtype or np.result_type(
+        np.asarray(sigma).dtype, *(t.dtype for t in b),
+        *(w.dtype for w in mpo_tensors))
+    x = [t.astype(dtype).copy() for t in (x0 if x0 is not None else b)]
+    b = [t.astype(dtype) for t in b]
+    W = [w.astype(dtype) for w in mpo_tensors]
+
+    if Lsites == 1:
+        # single site: dense solve in the full (tiny) space
+        n = x[0].shape[1]
+        Hfull = W[0][0, :, :, 0]
+        A = sign * (sigma * np.eye(n, dtype=dtype) - Hfull)
+        sol = np.linalg.solve(A, b[0][0, :, 0])
+        return [sol.reshape(1, n, 1)]
+
+    # right-canonicalize x so the initial environments are consistent
+    for k in range(Lsites - 1, 0, -1):
+        Dl, n, Dr = x[k].shape
+        q, r = np.linalg.qr(x[k].reshape(Dl, n * Dr).conj().T)
+        kdim = q.shape[1]
+        x[k] = q.conj().T.reshape(kdim, n, Dr)
+        x[k - 1] = np.tensordot(x[k - 1], r.conj().T, axes=([2], [0]))
+
+    # environments: Lop[k] covers sites < k; Rop[k] covers sites > k
+    Lop = [None] * (Lsites + 1)
+    Rop = [None] * (Lsites + 1)
+    Lb_ = [None] * (Lsites + 1)
+    Rb_ = [None] * (Lsites + 1)
+    Lop[0] = np.ones((1, 1, 1), dtype)
+    Rop[Lsites - 1] = np.ones((1, 1, 1), dtype)
+    Lb_[0] = np.ones((1, 1), dtype)
+    Rb_[Lsites - 1] = np.ones((1, 1), dtype)
+    for k in range(Lsites - 1, 1, -1):
+        Rop[k - 1] = _env_right_op(Rop[k], x[k], W[k], x[k])
+        Rb_[k - 1] = _env_right_rhs(Rb_[k], x[k], b[k])
+
+    def solve_pair(k, theta0):
+        Dl, n1, _, n2, Dr = (theta0.shape[0], theta0.shape[1], None,
+                             theta0.shape[2], theta0.shape[3])
+        shape = theta0.shape
+        size = int(np.prod(shape))
+        Lk, Rk = Lop[k], Rop[k + 1]
+        Lbk, Rbk = Lb_[k], Rb_[k + 1]
+
+        rhs = _local_rhs(Lbk, b[k], b[k + 1], Rbk)
+
+        def mv(vflat):
+            v = vflat.reshape(shape)
+            return _local_matvec(Lk, W[k], W[k + 1], Rk, v, sigma,
+                                 sign).ravel()
+
+        A = spla.LinearOperator((size, size), matvec=mv, dtype=dtype)
+        sol, info = spla.gcrotmk(A, rhs.ravel(), x0=theta0.ravel(),
+                                 rtol=local_tol, atol=0.0,
+                                 maxiter=local_maxiter)
+        return sol.reshape(shape)
+
+    prev = None
+    for sweep in range(nSweep):
+        # left -> right
+        for k in range(Lsites - 1):
+            theta0 = np.tensordot(x[k], x[k + 1], axes=([2], [0]))
+            theta = solve_pair(k, theta0)
+            left, right = _split_two_site(theta, maxD, eps)
+            # left-orthonormalize `left` for a consistent env (QR)
+            Dl, n1, kk = left.shape
+            q, r = np.linalg.qr(left.reshape(Dl * n1, kk))
+            x[k] = q.reshape(Dl, n1, q.shape[1])
+            x[k + 1] = np.tensordot(r, right, axes=([1], [0]))
+            Lop[k + 1] = _env_left_op(Lop[k], x[k], W[k], x[k])
+            Lb_[k + 1] = _env_left_rhs(Lb_[k], x[k], b[k])
+        # right -> left
+        for k in range(Lsites - 2, -1, -1):
+            theta0 = np.tensordot(x[k], x[k + 1], axes=([2], [0]))
+            theta = solve_pair(k, theta0)
+            left, right = _split_two_site(theta, maxD, eps)
+            # right-orthonormalize `right`
+            kk, n2, Dr = right.shape
+            q, r = np.linalg.qr(right.reshape(kk, n2 * Dr).conj().T)
+            x[k + 1] = q.conj().T.reshape(q.shape[1], n2, Dr)
+            x[k] = np.tensordot(left, r.conj().T, axes=([2], [0]))
+            Rop[k] = _env_right_op(Rop[k + 1], x[k + 1], W[k + 1], x[k + 1])
+            Rb_[k] = _env_right_rhs(Rb_[k + 1], x[k + 1], b[k + 1])
+
+        # sweep-to-sweep convergence via the center tensor change
+        from .mps import mps_vdot
+        nrm2 = abs(mps_vdot(x, x))
+        if prev is not None:
+            ovlp = abs(mps_vdot(prev, x))
+            denom = np.sqrt(abs(mps_vdot(prev, prev)) * nrm2)
+            change = np.sqrt(max(0.0, 1.0 - (ovlp / denom) ** 2)) \
+                if denom > 0 else 1.0
+            if change < convTol:
+                break
+        prev = [t.copy() for t in x]
+    return x

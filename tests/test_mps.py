@@ -168,3 +168,56 @@ def test_block_lanczos_mps_degenerate_pair():
     evL, uvL, status = inexactLanczosDiagonalization(
         op, [guesses[0], g2], sigma, L=8, maxit=8, eConv=1e-8, writeOut=False)
     np.testing.assert_allclose(np.sort(evL[:2]), pair, rtol=1e-5, atol=1e-5)
+
+
+def test_als_sweep_solver(sop):
+    """Two-site ALS sweep solve matches the dense solution (the reference's
+    LinearSystem-sweep analog) and adapts bond dimensions."""
+    rng = np.random.RandomState(6)
+    opts = _opts(maxD=120, tol=1e-8, iters=300)
+    opts["linearSystemArgs"]["method"] = "als"
+    opts["linearSystemArgs"]["nSweep"] = 30
+    opts["linearSystemArgs"]["convTol"] = 1e-9
+    b = MPSVector.from_dense(rng.rand(*DIMS), DIMS, opts).normalize()
+    sigma = calculateTarget(sop["evEigh"], 8)
+    x = MPSVector.solve(sop["op"], b, sigma)
+    xd = x.to_dense().ravel()
+    x_exact = np.linalg.solve(sigma * np.eye(len(xd)) - sop["H"],
+                              b.to_dense().ravel())
+    rel = np.linalg.norm(xd - x_exact) / np.linalg.norm(x_exact)
+    assert rel < 1e-5, rel
+
+
+def test_als_sweep_truncated(sop):
+    """With a tight maxD the ALS solve degrades gracefully (best rank-D
+    approximation of the solution, not garbage)."""
+    rng = np.random.RandomState(8)
+    opts = _opts(maxD=8, tol=1e-6, iters=300)
+    opts["linearSystemArgs"]["method"] = "als"
+    b = MPSVector.from_dense(rng.rand(*DIMS), DIMS, opts).normalize()
+    sigma = calculateTarget(sop["evEigh"], 8)
+    x = MPSVector.solve(sop["op"], b, sigma)
+    assert x.maxD <= 8
+    xd = x.to_dense().ravel()
+    x_exact = np.linalg.solve(sigma * np.eye(len(xd)) - sop["H"],
+                              b.to_dense().ravel())
+    cos = abs(np.vdot(xd, x_exact)) / (np.linalg.norm(xd)
+                                       * np.linalg.norm(x_exact))
+    assert cos > 0.9, cos
+
+
+@pytest.mark.slow
+def test_lanczos_mps_als(sop):
+    """Full inexact Lanczos with the ALS sweep inner solver (reference TTNS
+    pipeline shape: sweeps inside, Krylov outside)."""
+    target = calculateTarget(sop["evEigh"], 4)
+    opts = _opts(maxD=80, tol=1e-3, iters=200)
+    opts["linearSystemArgs"]["method"] = "als"
+    opts["linearSystemArgs"]["nSweep"] = 8
+    opts["linearSystemArgs"]["convTol"] = 1e-4
+    guess = MPSVector.random(DIMS, maxD=60, options=opts, seed=1212)
+    evL, uvL, status = inexactLanczosDiagonalization(
+        sop["op"], guess, target, L=25, maxit=10, eConv=1e-7, writeOut=False)
+    got = find_nearest(evL, target)[1]
+    want = find_nearest(sop["evEigh"], target)[1]
+    assert abs(got - want) / abs(want) <= 1e-5
