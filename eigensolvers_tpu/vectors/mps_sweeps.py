@@ -93,6 +93,167 @@ def _split_two_site(theta, maxD: Optional[int], eps: float):
     return u.reshape(Dl, n1, keep), sv.reshape(keep, n2, Dr)
 
 
+def dmrg_eigensolve(mpo_tensors: List[np.ndarray], dims: List[int],
+                    x0: Optional[List[np.ndarray]] = None,
+                    nStates: int = 1,
+                    maxD: Optional[int] = 32, eps: float = 1e-10,
+                    nSweep: int = 30, convTol: float = 1e-9,
+                    seed: int = 0, dtype=np.float64):
+    """Two-site DMRG eigensweep: lowest ``nStates`` eigenpairs of the MPO.
+
+    Fills the guess-generation role of the reference's external
+    ``ttns2.eigenStateComputations`` DMRG runs (reference:
+    unittests/test_feast_ttns.py:64-73): ground/low-lying states as MPSs,
+    usable directly as Lanczos/FEAST guesses.  Excited states are obtained
+    by deflation: each subsequent state is optimized in the complement of
+    the previous ones (projector penalty in the local problem).
+
+    :returns: (energies list, list of MPS tensor-lists)
+    """
+    from .mps import mps_random, mps_vdot, mps_compress
+
+    energies = []
+    states = []
+    for istate in range(nStates):
+        e, x = _dmrg_one_state(mpo_tensors, dims,
+                               x0 if istate == 0 else None,
+                               states, maxD, eps, nSweep, convTol,
+                               seed + istate, dtype)
+        energies.append(e)
+        states.append(x)
+    return energies, states
+
+
+def _dmrg_one_state(mpo_tensors, dims, x0, lower_states, maxD, eps,
+                    nSweep, convTol, seed, dtype):
+    from .mps import mps_random, mps_vdot
+
+    W = [w.astype(dtype) for w in mpo_tensors]
+    Lsites = len(dims)
+    if x0 is not None:
+        x = [t.astype(dtype).copy() for t in x0]
+    else:
+        x = mps_random(dims, maxD or 8, seed=seed, dtype=dtype)
+
+    if Lsites == 1:
+        Hfull = W[0][0, :, :, 0]
+        ev, uv = np.linalg.eigh(Hfull)
+        return float(ev[0]), [uv[:, 0].reshape(1, dims[0], 1)]
+
+    # right-canonicalize
+    for k in range(Lsites - 1, 0, -1):
+        Dl, n, Dr = x[k].shape
+        q, r = np.linalg.qr(x[k].reshape(Dl, n * Dr).conj().T)
+        x[k] = q.conj().T.reshape(q.shape[1], n, Dr)
+        x[k - 1] = np.tensordot(x[k - 1], r.conj().T, axes=([2], [0]))
+    nrm = np.sqrt(abs(mps_vdot(x, x)))
+    x[0] = x[0] / nrm
+
+    Lop = [None] * (Lsites + 1)
+    Rop = [None] * (Lsites + 1)
+    Lop[0] = np.ones((1, 1, 1), dtype)
+    Rop[Lsites - 1] = np.ones((1, 1, 1), dtype)
+    for k in range(Lsites - 1, 1, -1):
+        Rop[k - 1] = _env_right_op(Rop[k], x[k], W[k], x[k])
+
+    # deflation environments against previously found states
+    def proj_envs():
+        envs = []
+        for s in lower_states:
+            Lp = [None] * (Lsites + 1)
+            Rp = [None] * (Lsites + 1)
+            Lp[0] = np.ones((1, 1), dtype)
+            Rp[Lsites - 1] = np.ones((1, 1), dtype)
+            for k in range(Lsites - 1, 1, -1):
+                Rp[k - 1] = _env_right_rhs(Rp[k], x[k], s[k])
+            envs.append((s, Lp, Rp))
+        return envs
+
+    penv = proj_envs()
+    PENALTY = 100.0 * max(1.0, float(np.max(
+        [np.abs(w).max() for w in W])))
+
+    def solve_pair(k, theta0, tol):
+        shape = theta0.shape
+        size = int(np.prod(shape))
+        Lk, Rk = Lop[k], Rop[k + 1]
+
+        # deflation vectors in the local two-site basis
+        defl = []
+        for s, Lp, Rp in penv:
+            v = _local_rhs(Lp[k], s[k], s[k + 1], Rp[k + 1]).ravel()
+            nv = np.linalg.norm(v)
+            if nv > 1e-14:
+                defl.append(v / nv)
+
+        def mv(vflat):
+            v = vflat.reshape(shape)
+            t = np.tensordot(Lk, v, axes=([2], [0]))
+            t = np.tensordot(t, W[k], axes=([1, 2], [0, 2]))
+            t = np.tensordot(t, W[k + 1], axes=([4, 1], [0, 2]))
+            t = np.tensordot(t, Rk, axes=([4, 1], [1, 2]))
+            out = t.ravel()
+            for d in defl:
+                out = out + PENALTY * d * np.vdot(d, vflat)
+            return out
+
+        A = spla.LinearOperator((size, size), matvec=mv, dtype=dtype)
+        if size <= 4:
+            dense = np.column_stack(
+                [mv(e) for e in np.eye(size, dtype=dtype)])
+            evs, uvs = np.linalg.eigh((dense + dense.conj().T) / 2)
+            return float(evs[0]), uvs[:, 0].reshape(shape)
+        try:
+            ev, uv = spla.eigsh(A, k=1, which="SA", v0=theta0.ravel(),
+                                maxiter=400, tol=tol)
+        except spla.ArpackNoConvergence as e:
+            # partial result is a fine local update (outer sweeps refine)
+            if len(e.eigenvalues):
+                return float(e.eigenvalues[0]), \
+                    e.eigenvectors[:, 0].reshape(shape)
+            return None, theta0
+        return float(ev[0]), uv[:, 0].reshape(shape)
+
+    energy = None
+    for sweep in range(nSweep):
+        # local-solve tolerance schedule: loose while the state is far from
+        # converged, tight for the final refinement sweeps
+        loc_tol = 1e-4 if sweep < 2 else max(convTol * 1e-2, 1e-11)
+        for k in range(Lsites - 1):
+            theta0 = np.tensordot(x[k], x[k + 1], axes=([2], [0]))
+            e, theta = solve_pair(k, theta0, loc_tol)
+            left, right = _split_two_site(theta, maxD, eps)
+            Dl, n1, kk = left.shape
+            q, r = np.linalg.qr(left.reshape(Dl * n1, kk))
+            x[k] = q.reshape(Dl, n1, q.shape[1])
+            x[k + 1] = np.tensordot(r, right, axes=([1], [0]))
+            Lop[k + 1] = _env_left_op(Lop[k], x[k], W[k], x[k])
+            for s, Lp, Rp in penv:
+                Lp[k + 1] = _env_left_rhs(Lp[k], x[k], s[k])
+        for k in range(Lsites - 2, -1, -1):
+            theta0 = np.tensordot(x[k], x[k + 1], axes=([2], [0]))
+            e, theta = solve_pair(k, theta0, loc_tol)
+            left, right = _split_two_site(theta, maxD, eps)
+            kk, n2, Dr = right.shape
+            q, r = np.linalg.qr(right.reshape(kk, n2 * Dr).conj().T)
+            x[k + 1] = q.conj().T.reshape(q.shape[1], n2, Dr)
+            x[k] = np.tensordot(left, r.conj().T, axes=([2], [0]))
+            Rop[k] = _env_right_op(Rop[k + 1], x[k + 1], W[k + 1], x[k + 1])
+            for s, Lp, Rp in penv:
+                Rp[k] = _env_right_rhs(Rp[k + 1], x[k + 1], s[k + 1])
+        if energy is not None and abs(e - energy) <= \
+                convTol * max(1.0, abs(e)):
+            energy = e
+            break
+        energy = e
+
+    # normalize (center at site 0 after the right-to-left pass)
+    from .mps import mps_vdot as _vd
+    nrm = np.sqrt(abs(_vd(x, x)))
+    x[0] = x[0] / nrm
+    return energy, x
+
+
 def als_solve(mpo_tensors: List[np.ndarray], b: List[np.ndarray], sigma,
               x0: Optional[List[np.ndarray]] = None,
               sign: float = 1.0,
