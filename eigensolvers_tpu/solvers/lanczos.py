@@ -294,7 +294,20 @@ def inexactLanczosDiagonalization(
             printObj.writeFile("overlap", Smat)
             printObj.writeFile("KSmaxD", status)
             if lindepProblem:
-                ev = np.array([np.nan] * len(Ylist))
+                if uSH is None:
+                    # Degenerate input: linear dependence on the very first
+                    # Krylov step means the guess already spans the target
+                    # space to the solver's resolution (e.g. an exact
+                    # eigenvector as guess).  Return the guesses'
+                    # Rayleigh-Ritz values instead of the reference's nan
+                    # (which there follows a NameError risk,
+                    # inexact_Lanczos.py:358).
+                    status, uS0 = lowdinOrthoMatrix(Smat, status)
+                    status["lindep"] = True
+                    ev, uv0 = diagonalizeHamiltonian(uS0, Hmat, printObj)
+                    uSH = uS0 @ uv0
+                else:
+                    ev = np.array([np.nan] * len(Ylist))
                 break
             #
             # Diagonalize in Löwdin-orthogonalized basis.  Gram-Schmidt above

@@ -203,16 +203,44 @@ def _dmrg_one_state(mpo_tensors, dims, x0, lower_states, maxD, eps,
                 [mv(e) for e in np.eye(size, dtype=dtype)])
             evs, uvs = np.linalg.eigh((dense + dense.conj().T) / 2)
             return float(evs[0]), uvs[:, 0].reshape(shape)
+
+        # Jacobi-preconditioned LOBPCG: diag(H_eff) from the environment
+        # diagonals; essential for Hamiltonians whose local spectral range
+        # dwarfs the gap (anharmonic PES on wide DVR grids).
+        dL = np.einsum("awa->aw", Lk)
+        dW1 = np.einsum("wiix->wix", W[k])
+        dW2 = np.einsum("xjjy->xjy", W[k + 1])
+        dR = np.einsum("bwb->bw", Rk)
+        diag = np.einsum("aw,wix,xjy,by->aijb", dL, dW1, dW2, dR).ravel()
+        e0 = float(np.real(np.vdot(theta0.ravel(), mv(theta0.ravel()))) /
+                   max(np.real(np.vdot(theta0.ravel(), theta0.ravel())),
+                       1e-300))
+        shift = diag - e0
+        shift = np.where(np.abs(shift) < 1e-8, 1e-8, shift)
+
+        def precond(vmat):
+            return vmat / shift[:, None]
+
+        M = spla.LinearOperator((size, size), matvec=lambda v:
+                                (v / shift), matmat=precond, dtype=dtype)
+        X = theta0.reshape(size, 1).astype(dtype)
         try:
-            ev, uv = spla.eigsh(A, k=1, which="SA", v0=theta0.ravel(),
-                                maxiter=400, tol=tol)
-        except spla.ArpackNoConvergence as e:
-            # partial result is a fine local update (outer sweeps refine)
-            if len(e.eigenvalues):
-                return float(e.eigenvalues[0]), \
-                    e.eigenvectors[:, 0].reshape(shape)
-            return None, theta0
-        return float(ev[0]), uv[:, 0].reshape(shape)
+            import warnings as _w
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                evs, uvs = spla.lobpcg(A, X, M=M, tol=tol, maxiter=200,
+                                       largest=False)
+            return float(evs[0]), uvs[:, 0].reshape(shape)
+        except Exception:
+            try:
+                ev, uv = spla.eigsh(A, k=1, which="SA", v0=theta0.ravel(),
+                                    maxiter=400, tol=max(tol, 1e-8))
+                return float(ev[0]), uv[:, 0].reshape(shape)
+            except spla.ArpackNoConvergence as e:
+                if len(e.eigenvalues):
+                    return float(e.eigenvalues[0]), \
+                        e.eigenvectors[:, 0].reshape(shape)
+                return None, theta0
 
     energy = None
     for sweep in range(nSweep):

@@ -46,8 +46,10 @@ def test_lindep_flag_and_truncation():
         A, Y0, sigma=evEigh[16] + 0.3, L=8, maxit=3, eConv=1e-18,
         writeOut=False, status={"writeOut": False})
     assert status["lindep"] is True
-    # Gram-Schmidt abort: basis truncated to the inner iteration count
-    assert np.all(np.isnan(np.asarray(evL, dtype=float)))
+    # Gram-Schmidt abort on the FIRST step: degenerate input — the solver
+    # returns the guess's Rayleigh-Ritz value (here: the exact eigenvalue)
+    # with the basis truncated to the inner iteration count.
+    np.testing.assert_allclose(evL[0], evEigh[16], atol=1e-10)
     assert len(uvL) == status["innerIter"]
 
 
