@@ -211,7 +211,8 @@ def _dmrg_one_state(mpo_tensors, dims, x0, lower_states, maxD, eps,
         dW1 = np.einsum("wiix->wix", W[k])
         dW2 = np.einsum("xjjy->xjy", W[k + 1])
         dR = np.einsum("bwb->bw", Rk)
-        diag = np.einsum("aw,wix,xjy,by->aijb", dL, dW1, dW2, dR).ravel()
+        diag = np.einsum("aw,wix,xjy,by->aijb", dL, dW1, dW2, dR,
+                         optimize=True).ravel()
         e0 = float(np.real(np.vdot(theta0.ravel(), mv(theta0.ravel()))) /
                    max(np.real(np.vdot(theta0.ravel(), theta0.ravel())),
                        1e-300))
