@@ -39,7 +39,11 @@ class BasisBase:
         return np.eye(self.N)
 
     def op_q(self, power: int = 1):
-        """Position operator q^power (diagonal in any DVR)."""
+        """Position operator q^power (diagonal in a DVR; truncated matrix
+        power in an FBR)."""
+        X = getattr(self, "_X_fbr", None)
+        if X is not None:
+            return np.linalg.matrix_power(X, power)
         return np.diag(self.xi.astype(float) ** power)
 
     def op_dx2(self):
@@ -114,12 +118,21 @@ class SincAB(BasisBase):
 
 
 class Hermite(BasisBase):
-    """Harmonic-oscillator DVR (Gauss-Hermite grid).
+    """Harmonic-oscillator basis: DVR (Gauss-Hermite grid) or FBR
+    (finite basis representation in the first N HO eigenfunctions).
 
-    Grid = eigenvalues of the position operator truncated to the first N HO
-    eigenfunctions of -1/2 d²/dx² + (mω²/2)(x-x0)²; ``mat_dx2`` uses the
-    exact pointwise identity φ_n'' = (a⁴x² - (2n+1)a²) φ_n with a = sqrt(mω),
-    so x² couples only n, n±2 analytically.
+    ``representation="dvr"`` (default): grid = eigenvalues of the truncated
+    position operator; position operators are diagonal, ``mat_dx2`` from the
+    exact pointwise identity φ_n'' = (a⁴x² - (2n+1)a²) φ_n with a = sqrt(mω).
+
+    ``representation="fbr"``: operators as truncated matrices in the HO
+    eigenbasis — q^k is the k-th power of the tridiagonal position matrix.
+    This is the Avila-Carrington convention for polynomial force fields
+    (JCP 134, 054126 (2011)) and is essential for them: a wide DVR grid
+    samples the unphysical turnover region of a polynomial PES (cubic/
+    quartic terms with negative coefficients go to -inf at large |q|) and
+    variational solvers collapse into it, while the truncated-basis FBR
+    matrices never see it.
     """
 
     def __init__(self, options):
@@ -127,6 +140,7 @@ class Hermite(BasisBase):
         x0 = options.get("x0", 0.0)
         freq = options.get("omega", options.get("freq", 1.0))
         mass = options.get("mass", 1.0)
+        self.representation = options.get("representation", "dvr")
         self.N = N
         a = np.sqrt(mass * freq)  # inverse length scale
 
@@ -153,6 +167,12 @@ class Hermite(BasisBase):
         D1[n, n + 1] = a * np.sqrt((n + 1) / 2.0)
         D1[n + 1, n] = -a * np.sqrt((n + 1) / 2.0)
         self.mat_dx1 = U.T @ D1 @ U
+
+        if self.representation == "fbr":
+            # keep the FBR matrices themselves (untransformed)
+            self._X_fbr = X + x0 * np.eye(N)
+            self.mat_dx2 = d2_fbr
+            self.mat_dx1 = D1
 
 
 class Electronic(BasisBase):

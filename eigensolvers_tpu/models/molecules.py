@@ -39,8 +39,11 @@ def pyrazine4_operator(N: int = 6, nel: int = 2, dtype=np.float64,
     """
     spec = parse_op_file(PYR4_OP)
     assert spec.nModes == 5, spec.mode_labels
+    # FBR (HO eigenbasis) matrices: the right discretization for polynomial
+    # vibronic force fields (see Hermite docstring)
     bases = [Electronic({"N": nel})] + \
-        [Hermite(Hermite.getOptions(N=N)) for _ in range(4)]
+        [Hermite(Hermite.getOptions(N=N, representation="fbr"))
+         for _ in range(4)]
     op = build_sop_operator(spec, bases, dtype=dtype, term_chunk=term_chunk)
     return op, spec, bases
 
@@ -61,6 +64,9 @@ def ch3cn_operator(N: int = 42, nModesCut: Optional[int] = None,
         spec.terms = [t for t in spec.terms
                       if all(d < nModesCut for d in t.factors)]
         spec.mode_labels = spec.mode_labels[:nModesCut]
-    bases = [Hermite(Hermite.getOptions(N=N)) for _ in range(spec.nModes)]
+    # FBR (Avila-Carrington): truncated HO-basis matrices, immune to the
+    # polynomial PES turnover that collapses wide-grid DVRs
+    bases = [Hermite(Hermite.getOptions(N=N, representation="fbr"))
+             for _ in range(spec.nModes)]
     op = build_sop_operator(spec, bases, dtype=dtype, term_chunk=term_chunk)
     return op, spec, bases

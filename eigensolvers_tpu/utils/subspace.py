@@ -40,6 +40,18 @@ def find_nearest(array, value):
     return idx, arr[idx]
 
 
+def nearest_degenerate(array, value, degen_tol=1e-6):
+    """(index, value) of the nearest element, warning when the array contains
+    (near-)degenerate pairs (reference: util_funcs.py:133-144)."""
+    arr = np.asarray(array)
+    diffs = np.abs(arr[:, None] - arr[None, :])
+    np.fill_diagonal(diffs, np.inf)
+    if np.any(diffs <= degen_tol):
+        warnings.warn("Got degeneracy among candidate eigenvalues")
+    idx = int(np.abs(arr - value).argmin())
+    return idx, arr[idx]
+
+
 def calculateTarget(eigenvalues, indx, tol=1e-14):
     """Shift target placed a quarter-gap away from eigenvalue ``indx``;
     asserts non-degeneracy (reference: util_funcs.py:292-303)."""
