@@ -15,10 +15,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--large", action="store_true",
                     help="n=2500 config (reference 'largerDenserSpetra')")
-    ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the accelerator (default: CPU, so the demo "
+                         "works anywhere)")
     args = ap.parse_args()
 
-    if args.cpu:
+    if not args.tpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
