@@ -101,7 +101,8 @@ def _contour(eMin, eMax, nc, quad, contourEllipseFactor):
 def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
                                contourEllipseFactor):
     """Apply the rational filter to all m0 subspace vectors with ALL
-    (node, vector) solves in one batched call.  Exact-addition path."""
+    (node, vector) solves in one batched call, and the weighted quadrature
+    accumulation as one fused contraction.  Exact-addition path."""
     typeClass = type(Y[0])
     m0 = len(Y)
     nk = len(gk)
@@ -110,13 +111,18 @@ def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
     sigmas = [complex(zs[k]) for k in range(nk) for _ in range(m0)]
     sols = typeClass.solveBatch(A, bs, sigmas, opType="gen")
 
+    mults = np.array([-0.50 * wk[k] * eRadius * (
+        contourEllipseFactor * math.cos(thetas[k])
+        + math.sin(thetas[k]) * 1j) for k in range(nk)])
+
+    fused = getattr(typeClass, "_accumulate_quadrature", None)
+    if fused is not None:
+        return fused(sols, mults, m0)
+
     Q = [None] * m0
     for k in range(nk):
-        mult = -0.50 * wk[k] * eRadius * (
-            contourEllipseFactor * math.cos(thetas[k])
-            + math.sin(thetas[k]) * 1j)
         for i in range(m0):
-            Qk = typeClass.real(mult * sols[k * m0 + i])
+            Qk = typeClass.real(mults[k] * sols[k * m0 + i])
             Q = updateQ(Q, i, Qk, k)
     return Q
 

@@ -105,6 +105,13 @@ def _ext_col_op_kernel(op, V, w):
 
 
 @jax.jit
+def _quad_accum_kernel(S, mults):
+    """Re[ sum_k mults[k] * S[k, i, :] ] — the FEAST quadrature
+    accumulation as one contraction (S: (nk, m0, n) complex)."""
+    return jnp.real(jnp.tensordot(mults, S, axes=([0], [0])))
+
+
+@jax.jit
 def _mgs_kernel(x, Q):
     """Sequential (modified) Gram-Schmidt of x against stacked rows Q, using
     NON-conjugated dots — a deliberate reproduction of the reference quirk
@@ -289,6 +296,16 @@ class JaxVector(AbstractVector):
         opMat = np.append(opMat, col[None, :-1].conj(), axis=0)
         opMat = np.append(opMat, col[:, None], axis=1)
         return opMat
+
+    @classmethod
+    def _accumulate_quadrature(cls, sols, mults, m0: int):
+        """FEAST fast path: Q[i] = Re Σ_k mults[k] * sols[k*m0+i], all in one
+        jitted contraction instead of nk×m0 scale/add device calls."""
+        S = jnp.stack([s.array.ravel() for s in sols])
+        nk = len(mults)
+        out = _quad_accum_kernel(S.reshape(nk, m0, -1), jnp.asarray(mults))
+        shape = sols[0].array.shape
+        return [cls(out[i].reshape(shape), sols[0].options) for i in range(m0)]
 
     # -- linear solves ------------------------------------------------------
     @staticmethod
