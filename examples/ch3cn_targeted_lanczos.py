@@ -12,6 +12,13 @@ the physical interior state, which is exactly the reference's production
 workflow (and why this framework's headline algorithm exists).
 
 Run: python examples/ch3cn_targeted_lanczos.py [N_guess] [N_prod] [maxD]
+
+Cost note: at the full production basis (N_prod=42, maxD=10) one two-site
+ALS matvec is ~1-2 GFLOP (W-bond 24, two open 42-dim physical indices), so
+a converged run is a multi-hour single-node computation — same class as the
+reference's production TTNS sweeps.  The default reduced settings
+demonstrate the pipeline within minutes; scale N_prod/maxD/sweep budgets
+for production accuracy.
 """
 
 import sys
@@ -42,8 +49,8 @@ def main():
     from eigensolvers_tpu.vectors.mps import MPO, MPSVector
     from eigensolvers_tpu.vectors.mps_sweeps import dmrg_eigensolve
 
-    N_guess = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    N_prod = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    N_guess = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    N_prod = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     maxD = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
     # 1) coarse-basis DMRG ground state (small basis cannot reach the
@@ -68,14 +75,14 @@ def main():
     #    basis, seeded by the embedded coarse state
     opts = {"compressArgs": {"maxD": maxD, "eps": 1e-10},
             "linearSystemArgs": {"linearSolver": "minres", "method": "als",
-                                 "nSweep": 4, "convTol": 1e-5,
-                                 "siteTol": 1e-7, "linearIter": 300,
-                                 "linear_tol": 1e-4,
+                                 "nSweep": 2, "convTol": 1e-4,
+                                 "siteTol": 1e-6, "linearIter": 120,
+                                 "linear_tol": 1e-3,
                                  "maxD": maxD, "eps": 1e-10}}
     Y0 = MPSVector(embed_mps(xs[0], N_prod), opts).normalize()
     t2 = time.time()
     ev, uv, status = inexactLanczosDiagonalization(
-        mpo_p, Y0, sigma, L=6, maxit=4, eConv=1e-7, writeOut=True)
+        mpo_p, Y0, sigma, L=4, maxit=2, eConv=1e-6, writeOut=True)
     zpve = float(au2unit(find_nearest(ev, sigma)[1], "cm-1"))
     print(f"N={N_prod} targeted ZPVE: {zpve:.4f} cm-1 "
           f"[reference production value 9837.4069]  "
