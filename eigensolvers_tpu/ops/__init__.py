@@ -2,10 +2,10 @@
 from .operators import (AbstractOperator, CallableOperator, DenseOperator,
                         DiagonalOperator, GroupedSoPOperator,
                         SumOfProductOperator, as_operator)
-from .sparse import BSROperator
+from .sparse import BandedOperator, BSROperator
 from . import linear_solvers
 
 __all__ = ["AbstractOperator", "CallableOperator", "DenseOperator",
            "DiagonalOperator", "GroupedSoPOperator", "SumOfProductOperator",
-           "BSROperator",
+           "BSROperator", "BandedOperator",
            "as_operator", "linear_solvers"]

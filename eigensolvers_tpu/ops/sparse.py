@@ -242,3 +242,83 @@ try:  # Pallas import is TPU/CPU-safe; the kernel only launches on TPU
         return out.reshape(-1)[:nrb * B]
 except Exception:  # pragma: no cover - platform without pallas
     _bsr_matvec_pallas = _bsr_matvec_xla
+
+
+@jax.tree_util.register_pytree_node_class
+class BandedOperator(AbstractOperator):
+    """Banded operator: H[i, i + offsets[j]] = bands[j, i].
+
+    The matvec is gather-free — each diagonal contributes
+    ``bands[j] * x[d_j : d_j + n]`` of a zero-padded x, i.e. static slices
+    and elementwise multiplies that XLA fuses into one VPU pass.  The
+    natural form for 1-D DVR chains (kinetic + potential) and
+    finite-difference Hamiltonians.
+    """
+
+    def __init__(self, bands, offsets, n: int):
+        self.bands = jnp.asarray(bands)          # (k, n)
+        self.offsets = tuple(int(o) for o in offsets)
+        self.n = int(n)
+        assert self.bands.shape == (len(self.offsets), self.n)
+
+    @classmethod
+    def from_dense(cls, H, tol: float = 0.0) -> "BandedOperator":
+        H = np.asarray(H)
+        n = H.shape[0]
+        offsets = []
+        bands = []
+        for d in range(-(n - 1), n):
+            diag = np.diagonal(H, offset=d)
+            if np.any(np.abs(diag) > tol):
+                offsets.append(d)
+                row = np.zeros(n, H.dtype)
+                if d >= 0:
+                    row[:n - d] = diag
+                else:
+                    row[-d:] = diag
+                bands.append(row)
+        return cls(np.stack(bands), offsets, n)
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.bands.dtype
+
+    @property
+    def bandwidth(self):
+        return max(abs(o) for o in self.offsets)
+
+    def matvec(self, x):
+        flat = x.reshape(-1)
+        dtype = jnp.result_type(self.dtype, flat.dtype)
+        m = self.bandwidth
+        xp = jnp.concatenate([jnp.zeros(m, dtype), flat.astype(dtype),
+                              jnp.zeros(m, dtype)])
+        y = jnp.zeros(self.n, dtype)
+        for j, d in enumerate(self.offsets):     # static unroll, XLA fuses
+            y = y + self.bands[j].astype(dtype) * \
+                jax.lax.dynamic_slice_in_dim(xp, m + d, self.n)
+        return y.reshape(x.shape)
+
+    def to_dense(self):
+        out = np.zeros((self.n, self.n), np.dtype(self.bands.dtype.name))
+        bands = np.asarray(self.bands)
+        for j, d in enumerate(self.offsets):
+            idx = np.arange(self.n)
+            cols = idx + d
+            ok = (cols >= 0) & (cols < self.n)
+            out[idx[ok], cols[ok]] = bands[j][idx[ok]]
+        return jnp.asarray(out)
+
+    def tree_flatten(self):
+        return (self.bands,), (self.offsets, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        (obj.bands,) = children
+        obj.offsets, obj.n = aux
+        return obj

@@ -113,22 +113,36 @@ def _quad_accum_kernel(S, mults):
 
 @jax.jit
 def _mgs_kernel(x, Q):
-    """Sequential (modified) Gram-Schmidt of x against stacked rows Q, using
-    NON-conjugated dots — a deliberate reproduction of the reference quirk
-    (reference: numpyVector.py:133-140; SURVEY.md §7).  Identical to standard
-    GS for real data.  Zero padding rows are self-guarded (0/1 projection).
+    """Sequential (modified) Gram-Schmidt of x against stacked rows Q.
 
-    Returns (x_orth, innerprod) with innerprod the non-conjugated <x, x>.
+    For real data the dots are non-conjugated — a deliberate reproduction of
+    the reference quirk (reference: numpyVector.py:133-140; SURVEY.md §7),
+    which is identical to standard GS there.  For complex data that quirk is
+    mathematically wrong (it does not orthogonalize against the Hermitian
+    inner product; the reference has no complex coverage), so complex inputs
+    use conjugated dots.  Zero padding rows are self-guarded.
+
+    Returns (x_orth, innerprod) with innerprod = <x, x> (Hermitian for
+    complex, plain for real — both real-valued for the lindep test).
     """
+    complex_data = jnp.iscomplexobj(x) or jnp.iscomplexobj(Q)
+
     def step(x, q):
-        term1 = jnp.dot(x.ravel(), q.ravel())
-        term2 = jnp.dot(q.ravel(), q.ravel())
+        if complex_data:
+            term1 = jnp.vdot(q.ravel(), x.ravel())
+            term2 = jnp.vdot(q.ravel(), q.ravel()).real
+        else:
+            term1 = jnp.dot(x.ravel(), q.ravel())
+            term2 = jnp.dot(q.ravel(), q.ravel())
         denom = jnp.where(jnp.abs(term2) > 0, term2, 1.0)
         x = x - (term1 / denom) * q
         return x, None
 
     x, _ = jax.lax.scan(step, x, Q)
-    innerprod = jnp.dot(x.ravel(), x.ravel())
+    if complex_data:
+        innerprod = jnp.vdot(x.ravel(), x.ravel()).real
+    else:
+        innerprod = jnp.dot(x.ravel(), x.ravel())
     return x, innerprod
 
 

@@ -91,3 +91,32 @@ def test_as_operator_accepts_scipy_sparse():
     rng = np.random.RandomState(0)
     x = rng.rand(100)
     np.testing.assert_allclose(np.asarray(op.matvec(x)), H @ x, atol=1e-11)
+
+
+def test_banded_operator():
+    """Gather-free banded matvec vs dense oracle, and a Lanczos run on a
+    1-D DVR chain (kinetic + potential, the natural banded family)."""
+    from eigensolvers_tpu.ops.sparse import BandedOperator
+    from eigensolvers_tpu.models.bases import SincInfInf
+
+    b = SincInfInf(SincInfInf.getOptions(N=128, xRange=[-12, 12]))
+    H = -b.mat_dx2 + np.diag(b.xi ** 2)
+    # truncate to a band (sinc KE decays like 1/k^2)
+    bw = 40
+    Hb = np.triu(np.tril(H, bw), -bw)
+    op = BandedOperator.from_dense(Hb)
+    assert op.bandwidth == bw
+    rng = np.random.RandomState(0)
+    x = rng.rand(128)
+    np.testing.assert_allclose(np.asarray(op.matvec(x)), Hb @ x, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.to_dense()), Hb, atol=1e-13)
+
+    evE = np.linalg.eigvalsh(Hb)
+    target = float(evE[6] + 0.3)
+    opts = {"linearSystemArgs": {"linearSolver": "minres", "linearIter": 4000,
+                                 "linear_tol": 1e-5,
+                                 "errorOnNonConvergence": False}}
+    Y0 = JaxVector(rng.rand(128), opts)
+    evL, _, _ = inexactLanczosDiagonalization(op, Y0, target, 12, 6, 1e-8,
+                                              writeOut=False)
+    assert abs(find_nearest(evL, target)[1] - evE[6]) <= 1e-6
