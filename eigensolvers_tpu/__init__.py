@@ -52,6 +52,9 @@ from .utils.subspace import (
     select_within_range,
 )
 from .utils.quadrature import quadraturePointsWeights
+from .parallel.sharded import ShardedVector
+from .vectors.mps import MPSVector, MPO
+from .vectors.numpy_backend import NumpyVector
 
 __version__ = "0.1.0"
 
@@ -63,6 +66,10 @@ __all__ = [
     "GroupedSoPOperator",
     "SumOfProductOperator",
     "JaxVector",
+    "ShardedVector",
+    "MPSVector",
+    "MPO",
+    "NumpyVector",
     "LINDEP_DEFAULT_VALUE",
     "as_operator",
     "inexactLanczosDiagonalization",

@@ -311,6 +311,16 @@ def _solve_exact_jit(mat, b, sigma, gf_sign):
 def solve_exact(op, b, sigma, reverseGF=False) -> SolveResult:
     """Exact dense solve of (sigma*I - H) x = b; oracle/test path
     (the reference's misnamed "pardiso" option, numpyVector.py:164-171)."""
+    from .operators import PaddedOperator
+    if isinstance(op, PaddedOperator):
+        # Solve on the logical block (the zero-embedded block makes
+        # sigma*I - H_pad singular at sigma == 0) and re-pad.
+        n = op.op.shape[0]
+        inner = solve_exact(op.op, b[:n], sigma, reverseGF=reverseGF)
+        x = jnp.concatenate(
+            [inner.x, jnp.zeros(op.n_pad - n, inner.x.dtype)])
+        return SolveResult(x, inner.resnorm, inner.iterations,
+                           inner.converged)
     x = _solve_exact_jit(op.to_dense(), b, jnp.asarray(sigma),
                          -1.0 if reverseGF else 1.0)
     return SolveResult(x, jnp.zeros((), jnp.float64), jnp.ones((), jnp.int32),

@@ -432,6 +432,53 @@ class CallableOperator(AbstractOperator):
         return obj
 
 
+@jax.tree_util.register_pytree_node_class
+class PaddedOperator(AbstractOperator):
+    """Zero-embeds an (n, n) operator into (n_pad, n_pad).
+
+    Used by the sharded backend when the state dimension is not divisible by
+    the mesh extent: vectors carry trailing zero padding, and the matvec
+    keeps those lanes exactly zero (y[n:] = 0), so Krylov iterations started
+    from zero-padded b never leave the logical subspace.  Note the shifted
+    operator (sigma*I - H_pad) acts as sigma*I on the padding block, which is
+    harmless for iterative solves but makes the *exact* dense path singular
+    at sigma == 0 — exact solves slice back to the logical block instead.
+    """
+
+    def __init__(self, op: AbstractOperator, n_pad: int):
+        assert n_pad >= op.shape[0]
+        self.op = op
+        self.n_pad = int(n_pad)
+
+    @property
+    def shape(self):
+        return (self.n_pad, self.n_pad)
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+    def matvec(self, x):
+        n = self.op.shape[0]
+        y = self.op.matvec(x[:n])
+        return jnp.concatenate([y, jnp.zeros(self.n_pad - n, y.dtype)])
+
+    def to_dense(self):
+        n = self.op.shape[0]
+        out = jnp.zeros((self.n_pad, self.n_pad), self.op.dtype)
+        return out.at[:n, :n].set(self.op.to_dense())
+
+    def tree_flatten(self):
+        return (self.op,), (self.n_pad,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        (obj.op,) = children
+        (obj.n_pad,) = aux
+        return obj
+
+
 def as_operator(H) -> AbstractOperator:
     """Coerce a user-provided operator-like object into an AbstractOperator.
 

@@ -127,12 +127,17 @@ class BSROperator(AbstractOperator):
         xp = jnp.zeros(npad, dtype).at[:self.n].set(flat.astype(dtype))
         use_pallas = self.use_pallas
         if use_pallas is None:
-            # The XLA gather+einsum path runs at HBM-bandwidth speed on TPU
-            # (~720 GFLOP/s f32 measured on v5e) and the current
-            # axon/Mosaic AOT toolchain fails to legalize the scalar-prefetch
-            # index-map of the Pallas kernel ("failed to legalize operation
-            # 'func.func'"), so XLA is the default; opt in explicitly once
-            # the toolchain supports it.
+            # Default is the XLA gather+einsum path.  The Pallas kernel now
+            # compiles and validates on TPU (the x64 index-type issue is
+            # worked around in _bsr_matvec_pallas) and wins on direct
+            # launches, but on tunneled/remote-executor TPU platforms each
+            # Mosaic custom-call execution inside a lax loop pays a large
+            # host roundtrip, so it stays opt-in (`use_pallas=True`).
+            use_pallas = False
+        if use_pallas and dtype not in (jnp.float32, jnp.bfloat16):
+            # The Mosaic TPU toolchain has no f64/complex MXU path; the
+            # kernel is traced with x64 disabled (see _bsr_matvec_pallas),
+            # so wider dtypes take the XLA path.
             use_pallas = False
         if use_pallas:
             yp = _bsr_matvec_pallas(self.data.astype(dtype), self.idx, xp)
@@ -233,12 +238,20 @@ try:  # Pallas import is TPU/CPU-safe; the kernel only launches on TPU
             ],
             out_specs=pl.BlockSpec((R, B), lambda r, t, idx_ref: (r, 0)),
         )
-        out = pl.pallas_call(
-            _make_bsr_kernel(nbpr),
+        # Mosaic AOT cannot lower gridded kernels traced in x64 mode (index
+        # types come out i64), so for 32-bit-or-narrower data the launch is
+        # traced with x64 off (operands are explicit f32/bf16/int32, so no
+        # value dtype changes).  f64 data (interpret mode / CPU) keeps the
+        # ambient config so kernel math stays f64.
+        launch = functools.partial(
+            pl.pallas_call, _make_bsr_kernel(nbpr),
             out_shape=jax.ShapeDtypeStruct((nrb_p, B), data.dtype),
-            grid_spec=grid_spec,
-            interpret=interpret,
-        )(idx.reshape(-1), dataT, xp.reshape(1, -1))
+            grid_spec=grid_spec, interpret=interpret)
+        if jnp.dtype(data.dtype).itemsize <= 4:
+            with jax.enable_x64(False):
+                out = launch()(idx.reshape(-1), dataT, xp.reshape(1, -1))
+        else:
+            out = launch()(idx.reshape(-1), dataT, xp.reshape(1, -1))
         return out.reshape(-1)[:nrb * B]
 except Exception:  # pragma: no cover - platform without pallas
     _bsr_matvec_pallas = _bsr_matvec_xla

@@ -35,8 +35,9 @@ class ShardedVector(JaxVector):
 
     Construction pins the sharding; downstream jnp operations propagate it
     (GSPMD), so the whole Lanczos/FEAST machinery runs mesh-parallel without
-    further changes.  The first tensor axis must be divisible by the mesh's
-    "x" extent.
+    further changes.  1-D states of any length are accepted (zero-padded up
+    to the mesh's "x" extent, with operators zero-embedded to match);
+    multi-axis states must have their first axis divisible by it.
     """
 
     #: mesh used when none is passed explicitly (set via ``set_default_mesh``)
@@ -50,12 +51,34 @@ class ShardedVector(JaxVector):
             mesh = make_mesh(batch=1)
         self.mesh = mesh
         xdim = mesh.shape["x"]
-        assert arr.shape[0] % xdim == 0, \
-            f"first axis {arr.shape[0]} not divisible by mesh x={xdim}"
+        if arr.shape[0] % xdim != 0:
+            if arr.ndim == 1:
+                # Transparent zero padding: collective ops are unaffected
+                # (padding contributes 0 to dots/norms) and operators are
+                # reconciled at application time via _as_operator →
+                # PaddedOperator, which keeps padding lanes exactly zero.
+                pad = (-arr.shape[0]) % xdim
+                arr = jnp.concatenate([arr, jnp.zeros(pad, arr.dtype)])
+            else:
+                raise ValueError(
+                    f"first axis {arr.shape[0]} not divisible by mesh "
+                    f"x={xdim}; multi-axis states cannot be zero-padded "
+                    f"(flatten first, or choose a compatible mesh)")
         sharding = vector_sharding(mesh, arr.ndim)
         if getattr(arr, "sharding", None) != sharding:
             arr = jax.device_put(arr, sharding)
         super().__init__(arr, options)
+
+    @classmethod
+    def _as_operator(cls, H, ref: "ShardedVector"):
+        """Coerce H, zero-embedding it when ``ref`` carries padding (its
+        first axis was rounded up to the mesh extent)."""
+        op = as_operator(H)
+        n_pad = ref.array.shape[0] if ref.array.ndim == 1 else op.shape[0]
+        if op.shape[0] < n_pad:
+            from ..ops.operators import PaddedOperator
+            op = PaddedOperator(op, n_pad)
+        return op
 
     @staticmethod
     def _mesh_of(arr) -> Optional[Mesh]:

@@ -229,8 +229,14 @@ class JaxVector(AbstractVector):
     def copy(self) -> "JaxVector":
         return type(self)(self.array, self.options)  # jnp arrays are immutable
 
+    @classmethod
+    def _as_operator(cls, H, ref: "JaxVector"):
+        """Coerce H for application to ``ref``-shaped vectors.  Subclasses
+        (ShardedVector) override to reconcile padding/sharding."""
+        return as_operator(H)
+
     def applyOp(self, operator) -> "JaxVector":
-        op = as_operator(operator)
+        op = self._as_operator(operator, self)
         return type(self)(op.matvec(self.array), self.options)
 
     def compress(self) -> "JaxVector":
@@ -285,7 +291,7 @@ class JaxVector(AbstractVector):
     @classmethod
     def matrixRepresentation(cls, operator, vectors: List["JaxVector"]) -> np.ndarray:
         m = len(vectors)
-        op = as_operator(operator)
+        op = cls._as_operator(operator, vectors[0])
         V = cls._stack(vectors, pad_to=_pad_rows(m))
         M = np.asarray(_matrep_kernel(op, V))[:m, :m]
         return M
@@ -303,7 +309,7 @@ class JaxVector(AbstractVector):
     def extendMatrixRepresentation(cls, operator, vectors: List["JaxVector"],
                                    opMat: np.ndarray) -> np.ndarray:
         m = len(vectors)
-        op = as_operator(operator)
+        op = cls._as_operator(operator, vectors[0])
         V = cls._stack(vectors, pad_to=_pad_rows(m))
         ket = vectors[-1].array.ravel().astype(V.dtype)
         col = np.asarray(_ext_col_op_kernel(op, V, ket))[:m]  # <v_i | A v_new>
@@ -349,7 +355,7 @@ class JaxVector(AbstractVector):
               reverseGF: bool = False) -> "JaxVector":
         """(sigma*I - H) x = b, inexactly (reference: numpyVector.py:147-178)."""
         solver, opts = cls._solve_opts(b, sigma, opType)
-        op = as_operator(H)
+        op = cls._as_operator(H, b)
         dtype = np.result_type(np.asarray(sigma).dtype, np.dtype(op.dtype), b.dtype)
         barr = b.array.ravel().astype(dtype)
         x0arr = None if x0 is None else x0.array.ravel().astype(dtype)
@@ -386,7 +392,7 @@ class JaxVector(AbstractVector):
         (sigma_k, b_k) pairs (block Lanczos / FEAST batching,
         SURVEY.md §2.4 item 2)."""
         solver, opts = cls._solve_opts(bs[0], np.asarray(sigmas), opType)
-        op = as_operator(H)
+        op = cls._as_operator(H, bs[0])
         sig = np.asarray(sigmas)
         dtype = np.result_type(sig.dtype, np.dtype(op.dtype),
                                *[b.dtype for b in bs])

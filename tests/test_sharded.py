@@ -97,3 +97,31 @@ def test_sharded_feast(problem, mesh):
         ShardedVector.set_default_mesh(None)
     for target in select_within_range(ev, 160, 166)[0]:
         assert abs(find_nearest(evF, target)[1] - target) <= 1e-4
+
+
+def test_sharded_arbitrary_length(mesh):
+    """A state dimension NOT divisible by the mesh extent is zero-padded
+    transparently (PaddedOperator keeps padding lanes exactly zero), and the
+    eigenpair matches the dense backend."""
+    n = 100  # 100 % 8 != 0
+    ev = np.linspace(1, 200, n)
+    rng = np.random.RandomState(7)
+    Q = la.qr(rng.rand(n, n))[0]
+    A = Q.T @ np.diag(ev) @ Q
+    guess = rng.rand(n)
+    evD, YD, stD = _run(A, guess, JaxVector)
+    ShardedVector.set_default_mesh(mesh)
+    try:
+        evS, YS, stS = _run(A, guess, ShardedVector)
+    finally:
+        ShardedVector.set_default_mesh(None)
+    target = find_nearest(np.asarray(evD), 30)[1]
+    got = find_nearest(np.asarray(evS), 30)[1]
+    assert abs(got - target) < 1e-8
+    # returned vectors carry padding; logical part matches dense, pad is 0
+    vS = np.asarray(YS[0].array)
+    assert vS.shape[0] == 104
+    np.testing.assert_allclose(vS[100:], 0.0, atol=1e-12)
+    vD = np.asarray(YD[0].array)
+    phase = np.sign(vD @ vS[:100])
+    np.testing.assert_allclose(phase * vS[:100], vD, atol=1e-6)

@@ -64,9 +64,10 @@ def test_lanczos_on_sparse():
 
 
 def test_pallas_kernel_interpret_mode():
-    """Validate the Pallas BSR kernel logic in interpreter mode (the real
-    TPU launch is gated behind use_pallas=True pending a Mosaic toolchain
-    fix; the logic itself must stay correct)."""
+    """Validate the Pallas BSR kernel logic in interpreter mode (the suite
+    runs on the CPU mesh; the same kernel compiles and validates on real TPU
+    via use_pallas=True — traced with x64 disabled to work around a Mosaic
+    AOT index-type bug, see _bsr_matvec_pallas)."""
     import jax.numpy as jnp
     from eigensolvers_tpu.ops.sparse import (_bsr_matvec_pallas,
                                              _bsr_matvec_xla)
