@@ -20,6 +20,13 @@ All solvers are batchable: ``vmap`` over (sigma, b) turns FEAST's
 quadrature×subspace double loop (reference: feast.py:189-200) into one
 batched device computation.
 
+Optional Jacobi preconditioning (``precond="jacobi"``): M is built from
+diag(sigma*I - H) when the operator exposes ``diagonal()`` — absolute-value
+Jacobi for MINRES (M must be SPD for an indefinite system), plain right
+Jacobi for GMRES.  One VPU multiply per iteration for a often-large cut in
+iteration count on diagonally dominant Hamiltonians (DVR kinetic+potential,
+SoP molecular operators).
+
 Stopping criterion: ||r|| <= max(rtol*||b||, atol).  The outer eigensolvers
 depend on *inexactness semantics* (loose inner tolerances), not on bitwise
 solver equality with SciPy (SURVEY.md §7 "hard parts"), so the criterion
@@ -55,30 +62,50 @@ def _shifted_matvec(op: AbstractOperator, sigma, gf_sign):
 # ----------------------------------------------------------------------------
 # MINRES (Paige & Saunders) — Hermitian, possibly indefinite
 # ----------------------------------------------------------------------------
-def _minres_fixed(matvec, b, x0, rtol, atol, maxiter):
+def _minres_fixed(matvec, b, x0, rtol, atol, maxiter, psolve=None):
+    """MINRES (Paige & Saunders); with ``psolve`` (an SPD M applied as a
+    callable) this is standard preconditioned MINRES: the Lanczos vectors are
+    M-orthogonal and phibar tracks the M^{-1}-norm of the residual.  Since
+    that norm can stop short of the true-2-norm contract
+    ||r|| <= max(rtol*||b||, atol), preconditioned runs add warm-restart
+    continuation rounds (tightening the inner tolerance 10x per round) until
+    the true residual satisfies it or the iteration budget is spent."""
     dtype = jnp.result_type(b.dtype, x0.dtype)
     b = b.astype(dtype)
     x0 = x0.astype(dtype)
     rdtype = jnp.zeros((), dtype).real.dtype
 
-    r1 = b - matvec(x0)
-    beta1 = jnp.sqrt(jnp.real(jnp.vdot(r1, r1)))
-    tol_abs = jnp.maximum(rtol * jnp.sqrt(jnp.real(jnp.vdot(b, b))), atol)
+    preconditioned = psolve is not None
+    if psolve is None:
+        psolve = lambda r: r
 
     zero_r = jnp.zeros((), rdtype)
 
-    init = dict(
-        x=x0, r1=r1, r2=r1, y=r1,
-        w=jnp.zeros_like(b), w2=jnp.zeros_like(b),
-        oldb=zero_r, beta=beta1, dbar=zero_r, epsln=zero_r,
-        phibar=beta1, cs=-jnp.ones((), rdtype), sn=zero_r,
-        itn=jnp.zeros((), jnp.int32),
-    )
+    def core(x0c, tol_m, it0):
+        """One MINRES sweep from x0c with M-norm tolerance tol_m; iteration
+        counter starts at it0 and is bounded by the global maxiter."""
+        r1 = b - matvec(x0c)
+        y0 = psolve(r1)
+        beta1 = jnp.sqrt(jnp.maximum(jnp.real(jnp.vdot(r1, y0)), 0.0))
+        init = dict(
+            x=x0c, r1=r1, r2=r1, y=y0,
+            w=jnp.zeros_like(b), w2=jnp.zeros_like(b),
+            oldb=zero_r, beta=beta1, dbar=zero_r, epsln=zero_r,
+            phibar=beta1, cs=-jnp.ones((), rdtype), sn=zero_r,
+            itn=jnp.asarray(it0, jnp.int32),
+        )
 
-    def cond(c):
-        return (c["itn"] < maxiter) & (c["phibar"] > tol_abs) & (c["beta"] > 0)
+        def cond(c):
+            return (c["itn"] < maxiter) & (c["phibar"] > tol_m) & \
+                (c["beta"] > 0)
 
-    def body(c):
+        return jax.lax.while_loop(cond, _body, init)
+
+    tol_abs = jnp.maximum(
+        rtol * jnp.sqrt(jnp.maximum(jnp.real(jnp.vdot(b, psolve(b))), 0.0)),
+        atol)
+
+    def _body(c):
         itn = c["itn"] + 1
         s = 1.0 / c["beta"]
         v = s * c["y"]
@@ -87,7 +114,9 @@ def _minres_fixed(matvec, b, x0, rtol, atol, maxiter):
         alfa = jnp.real(jnp.vdot(v, y))
         y = y - (alfa / c["beta"]) * c["r2"]
         r1, r2 = c["r2"], y
-        oldb, beta = c["beta"], jnp.sqrt(jnp.real(jnp.vdot(y, y)))
+        my = psolve(y)
+        oldb = c["beta"]
+        beta = jnp.sqrt(jnp.maximum(jnp.real(jnp.vdot(y, my)), 0.0))
 
         # Plane rotations (QR of the tridiagonal)
         oldeps = c["epsln"]
@@ -106,12 +135,34 @@ def _minres_fixed(matvec, b, x0, rtol, atol, maxiter):
         w2 = c["w"]
         w = (v - oldeps * w1 - delta * w2) / gamma
         x = c["x"] + phi * w
-        return dict(x=x, r1=r1, r2=r2, y=y, w=w, w2=w2, oldb=oldb, beta=beta,
+        return dict(x=x, r1=r1, r2=r2, y=my, w=w, w2=w2, oldb=oldb, beta=beta,
                     dbar=dbar, epsln=epsln, phibar=phibar, cs=cs, sn=sn, itn=itn)
 
-    out = jax.lax.while_loop(cond, body, init)
-    return SolveResult(out["x"], out["phibar"], out["itn"],
-                       out["phibar"] <= tol_abs)
+    out = core(x0, tol_abs, 0)
+    if not preconditioned:
+        return SolveResult(out["x"], out["phibar"], out["itn"],
+                           out["phibar"] <= tol_abs)
+
+    # Continuation rounds against the true-2-norm contract.
+    tol_true = jnp.maximum(rtol * jnp.linalg.norm(b), atol)
+    rnorm0 = jnp.linalg.norm(b - matvec(out["x"]))
+
+    def ocond(c):
+        x, itn, tol_m, rnorm, rounds = c
+        # rounds cap guards against Lanczos breakdown (beta = 0) stagnation
+        return (rnorm > tol_true) & (itn < maxiter) & (rounds < 8)
+
+    def obody(c):
+        x, itn, tol_m, _, rounds = c
+        tol_m = 0.1 * tol_m
+        o = core(x, tol_m, itn)
+        rnorm = jnp.linalg.norm(b - matvec(o["x"]))
+        return o["x"], o["itn"], tol_m, rnorm, rounds + 1
+
+    x, itn, _, rnorm, _ = jax.lax.while_loop(
+        ocond, obody,
+        (out["x"], out["itn"], tol_abs, rnorm0, jnp.zeros((), jnp.int32)))
+    return SolveResult(x, rnorm, itn, rnorm <= tol_true)
 
 
 # ----------------------------------------------------------------------------
@@ -169,7 +220,9 @@ def _solve_spd_small(A, b):
 # ----------------------------------------------------------------------------
 # Restarted GMRES — general (non-Hermitian / complex-shifted) systems
 # ----------------------------------------------------------------------------
-def _gmres_fixed(matvec, b, x0, rtol, atol, restart, maxiter):
+def _gmres_fixed(matvec, b, x0, rtol, atol, restart, maxiter, psolve=None):
+    if psolve is None:
+        psolve = lambda z: z
     n = b.shape[0]
     dtype = jnp.result_type(b.dtype, x0.dtype)
     b = b.astype(dtype)
@@ -190,7 +243,7 @@ def _gmres_fixed(matvec, b, x0, rtol, atol, restart, maxiter):
 
         def arnoldi(j, carry):
             V, H = carry
-            w = matvec(V[j])
+            w = matvec(psolve(V[j]))
             mask = (jnp.arange(restart + 1) <= j).astype(dtype)
             h1 = (V.conj() @ w) * mask
             w = w - V.T @ h1
@@ -214,7 +267,7 @@ def _gmres_fixed(matvec, b, x0, rtol, atol, restart, maxiter):
         ridge = jnp.finfo(rdtype).eps * (jnp.trace(A).real + 1.0)
         y = _solve_spd_small(A + ridge * jnp.eye(restart, dtype=dtype),
                              H.conj().T @ g)
-        x = x + V[:restart].T @ y
+        x = x + psolve(V[:restart].T @ y)
         rnorm = jnp.linalg.norm(b - matvec(x))
         return x, rnorm
 
@@ -235,61 +288,114 @@ def _gmres_fixed(matvec, b, x0, rtol, atol, restart, maxiter):
 
 
 # ----------------------------------------------------------------------------
+# Jacobi preconditioners for the shifted system A = gf_sign*(sigma*I - H)
+# ----------------------------------------------------------------------------
+def _jacobi_spd(op, sigma, gf_sign):
+    """SPD (absolute-value) Jacobi for MINRES: M = 1/max(|diag(A)|, floor).
+    Returns None when the operator has no cheap diagonal."""
+    d = op.diagonal()
+    if d is None:
+        return None
+    dA = jnp.abs(gf_sign * (sigma - d)).real
+    floor = 1e-8 * jnp.maximum(jnp.max(dA), 1.0)
+    m = 1.0 / jnp.maximum(dA, floor)
+    return lambda r: (m * r.reshape(-1)).reshape(r.shape)
+
+
+def _jacobi_right(op, sigma, gf_sign, dtype):
+    """Right Jacobi for GMRES: z = r / diag(A), guarded near diag(A) = 0
+    (entries within floor of zero fall back to identity)."""
+    d = op.diagonal()
+    if d is None:
+        return None
+    dA = (gf_sign * (sigma - d.astype(dtype))).astype(dtype)
+    mag = jnp.abs(dA)
+    floor = 1e-8 * jnp.maximum(jnp.max(mag), 1.0)
+    safe = jnp.where(mag > floor, dA, 1.0)
+    return lambda r: (r.reshape(-1) / safe).reshape(r.shape)
+
+
+def _resolve_precond(precond, kind, op, sigma, gf_sign, dtype=None):
+    if precond in (None, "none"):
+        return None
+    if precond != "jacobi":
+        raise ValueError(
+            f"unknown preconditioner {precond!r}; available: jacobi")
+    if kind == "minres":
+        return _jacobi_spd(op, sigma, gf_sign)
+    return _jacobi_right(op, sigma, gf_sign, dtype)
+
+
+# ----------------------------------------------------------------------------
 # public, jitted entry points
 # ----------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("maxiter",))
-def _minres_jit(op, b, sigma, x0, rtol, atol, gf_sign, maxiter):
-    return _minres_fixed(_shifted_matvec(op, sigma, gf_sign), b, x0, rtol, atol, maxiter)
+@functools.partial(jax.jit, static_argnames=("maxiter", "precond"))
+def _minres_jit(op, b, sigma, x0, rtol, atol, gf_sign, maxiter, precond=None):
+    psolve = _resolve_precond(precond, "minres", op, sigma, gf_sign)
+    return _minres_fixed(_shifted_matvec(op, sigma, gf_sign), b, x0, rtol,
+                         atol, maxiter, psolve=psolve)
 
 
-@functools.partial(jax.jit, static_argnames=("restart", "maxiter"))
-def _gmres_jit(op, b, sigma, x0, rtol, atol, gf_sign, restart, maxiter):
+@functools.partial(jax.jit, static_argnames=("restart", "maxiter", "precond"))
+def _gmres_jit(op, b, sigma, x0, rtol, atol, gf_sign, restart, maxiter,
+               precond=None):
+    psolve = _resolve_precond(precond, "gmres", op, sigma, gf_sign, b.dtype)
     return _gmres_fixed(_shifted_matvec(op, sigma, gf_sign), b, x0, rtol, atol,
-                        restart, maxiter)
+                        restart, maxiter, psolve=psolve)
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter",))
-def _minres_batch_jit(op, bs, sigmas, x0s, rtol, atol, gf_sign, maxiter):
-    f = lambda b, s, x0: _minres_fixed(_shifted_matvec(op, s, gf_sign), b, x0,
-                                       rtol, atol, maxiter)
+@functools.partial(jax.jit, static_argnames=("maxiter", "precond"))
+def _minres_batch_jit(op, bs, sigmas, x0s, rtol, atol, gf_sign, maxiter,
+                      precond=None):
+    def f(b, s, x0):
+        psolve = _resolve_precond(precond, "minres", op, s, gf_sign)
+        return _minres_fixed(_shifted_matvec(op, s, gf_sign), b, x0,
+                             rtol, atol, maxiter, psolve=psolve)
     return jax.vmap(f)(bs, sigmas, x0s)
 
 
-@functools.partial(jax.jit, static_argnames=("restart", "maxiter"))
-def _gmres_batch_jit(op, bs, sigmas, x0s, rtol, atol, gf_sign, restart, maxiter):
-    f = lambda b, s, x0: _gmres_fixed(_shifted_matvec(op, s, gf_sign), b, x0,
-                                      rtol, atol, restart, maxiter)
+@functools.partial(jax.jit, static_argnames=("restart", "maxiter", "precond"))
+def _gmres_batch_jit(op, bs, sigmas, x0s, rtol, atol, gf_sign, restart,
+                     maxiter, precond=None):
+    def f(b, s, x0):
+        psolve = _resolve_precond(precond, "gmres", op, s, gf_sign, bs.dtype)
+        return _gmres_fixed(_shifted_matvec(op, s, gf_sign), b, x0,
+                            rtol, atol, restart, maxiter, psolve=psolve)
     return jax.vmap(f)(bs, sigmas, x0s)
 
 
 def minres(op, b, sigma, x0=None, rtol=1e-4, atol=0.0, maxiter=1000,
-           reverseGF=False) -> SolveResult:
-    """Hermitian shifted solve (sigma*I - H) x = b via MINRES."""
+           reverseGF=False, precond=None) -> SolveResult:
+    """Hermitian shifted solve (sigma*I - H) x = b via MINRES
+    (``precond="jacobi"`` for absolute-value Jacobi preconditioning)."""
     x0 = jnp.zeros_like(b) if x0 is None else x0
     return _minres_jit(op, b, sigma, x0, rtol, atol,
-                       -1.0 if reverseGF else 1.0, maxiter)
+                       -1.0 if reverseGF else 1.0, maxiter, precond=precond)
 
 
 def gmres(op, b, sigma, x0=None, rtol=1e-4, atol=0.0, restart=30,
-          maxiter=1000, reverseGF=False) -> SolveResult:
-    """General shifted solve via restarted GMRES (handles complex sigma)."""
+          maxiter=1000, reverseGF=False, precond=None) -> SolveResult:
+    """General shifted solve via restarted GMRES (handles complex sigma;
+    ``precond="jacobi"`` for right Jacobi preconditioning)."""
     dtype = jnp.result_type(b.dtype, jnp.asarray(sigma).dtype, op.dtype)
     b = b.astype(dtype)
     x0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
     return _gmres_jit(op, b, jnp.asarray(sigma, dtype), x0, rtol, atol,
-                      -1.0 if reverseGF else 1.0, restart, maxiter)
+                      -1.0 if reverseGF else 1.0, restart, maxiter,
+                      precond=precond)
 
 
 def minres_batch(op, bs, sigmas, x0s=None, rtol=1e-4, atol=0.0, maxiter=1000,
-                 reverseGF=False) -> SolveResult:
+                 reverseGF=False, precond=None) -> SolveResult:
     """Batched MINRES over leading axis of (bs, sigmas)."""
     x0s = jnp.zeros_like(bs) if x0s is None else x0s
     return _minres_batch_jit(op, bs, jnp.asarray(sigmas), x0s, rtol, atol,
-                             -1.0 if reverseGF else 1.0, maxiter)
+                             -1.0 if reverseGF else 1.0, maxiter,
+                             precond=precond)
 
 
 def gmres_batch(op, bs, sigmas, x0s=None, rtol=1e-4, atol=0.0, restart=30,
-                maxiter=1000, reverseGF=False) -> SolveResult:
+                maxiter=1000, reverseGF=False, precond=None) -> SolveResult:
     """Batched GMRES over leading axis of (bs, sigmas); used for FEAST's
     quadrature-node solves."""
     sigmas = jnp.asarray(sigmas)
@@ -297,7 +403,8 @@ def gmres_batch(op, bs, sigmas, x0s=None, rtol=1e-4, atol=0.0, restart=30,
     bs = bs.astype(dtype)
     x0s = jnp.zeros_like(bs) if x0s is None else x0s.astype(dtype)
     return _gmres_batch_jit(op, bs, sigmas.astype(dtype), x0s, rtol, atol,
-                            -1.0 if reverseGF else 1.0, restart, maxiter)
+                            -1.0 if reverseGF else 1.0, restart, maxiter,
+                            precond=precond)
 
 
 @jax.jit

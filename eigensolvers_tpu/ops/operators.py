@@ -39,6 +39,11 @@ class AbstractOperator:
         """Materialize as a dense (n, n) jnp array (oracle/small paths only)."""
         raise NotImplementedError
 
+    def diagonal(self):
+        """diag(H) as an (n,) array, or None when it is not cheaply
+        available (used for Jacobi preconditioning of the shifted solves)."""
+        return None
+
     # Allow ``operator @ array`` in user code.
     def __matmul__(self, x):
         return self.matvec(x)
@@ -72,6 +77,9 @@ class DenseOperator(AbstractOperator):
     def to_dense(self):
         return self.mat
 
+    def diagonal(self):
+        return jnp.diagonal(self.mat)
+
     def tree_flatten(self):
         return (self.mat,), None
 
@@ -103,6 +111,9 @@ class DiagonalOperator(AbstractOperator):
 
     def to_dense(self):
         return jnp.diag(self.diag)
+
+    def diagonal(self):
+        return self.diag
 
     def tree_flatten(self):
         return (self.diag,), None
@@ -225,6 +236,15 @@ class SumOfProductOperator(AbstractOperator):
             dtype = jnp.result_type(self.dtype, x.dtype)
             y, _ = jax.lax.scan(body, jnp.zeros(dims, dtype), chunked)
         return y.reshape(x.shape)
+
+    def diagonal(self):
+        """diag(⊗_d A_d) = ⊗_d diag(A_d), summed over terms — one (n,)
+        vector (same footprint as a state), never materializing H."""
+        diags = [jax.vmap(jnp.diagonal)(f) for f in self.factors]  # (S, n_d)
+        acc = diags[0]
+        for dg in diags[1:]:
+            acc = (acc[:, :, None] * dg[:, None, :]).reshape(acc.shape[0], -1)
+        return acc.sum(axis=0)
 
     def to_dense(self):
         """Materialize H as a dense matrix via Kronecker products (small
@@ -357,6 +377,24 @@ class GroupedSoPOperator(AbstractOperator):
             y = y + xb.sum(axis=0)
         return y.reshape(x.shape)
 
+    def diagonal(self):
+        """Per-group Kronecker of active-mode factor diagonals, broadcast
+        over inactive modes; identity terms contribute id_coeff."""
+        dims = self._dims
+        n = int(np.prod(dims))
+        out = jnp.full((n,), self.id_coeff,
+                       dtype=jnp.result_type(self.dtype))
+        out = out.reshape(dims)
+        for modes, facs in self.groups:
+            dg = [jax.vmap(jnp.diagonal)(f) for f in facs]   # (S_g, n_d)
+            acc = dg[0]
+            for g in dg[1:]:
+                acc = (acc[:, :, None] * g[:, None, :]).reshape(acc.shape[0], -1)
+            acc = acc.sum(axis=0)                            # (Π active n_d,)
+            shape = [dims[d] if d in modes else 1 for d in range(len(dims))]
+            out = out + acc.reshape(shape)
+        return out.reshape(-1)
+
     def to_dense(self):
         n = self.shape[0]
         dt = np.result_type(*(np.asarray(f).dtype
@@ -467,6 +505,13 @@ class PaddedOperator(AbstractOperator):
         n = self.op.shape[0]
         out = jnp.zeros((self.n_pad, self.n_pad), self.op.dtype)
         return out.at[:n, :n].set(self.op.to_dense())
+
+    def diagonal(self):
+        d = self.op.diagonal()
+        if d is None:
+            return None
+        return jnp.concatenate(
+            [d, jnp.zeros(self.n_pad - self.op.shape[0], d.dtype)])
 
     def tree_flatten(self):
         return (self.op,), (self.n_pad,)

@@ -145,6 +145,16 @@ class BSROperator(AbstractOperator):
             yp = _bsr_matvec_xla(self.data.astype(dtype), self.idx, xp)
         return yp[:self.n].reshape(x.shape)
 
+    def diagonal(self):
+        """diag(H): pick the (i, i) entries of the diagonal blocks (block
+        rows where idx[r, t] == r), one vectorized gather."""
+        nrb, nbpr, B, _ = self.data.shape
+        is_diag = (self.idx == jnp.arange(nrb, dtype=self.idx.dtype)[:, None])
+        blk_diags = self.data.reshape(nrb, nbpr, B * B)[
+            :, :, jnp.arange(B) * (B + 1)]                      # (nrb, nbpr, B)
+        d = jnp.where(is_diag[:, :, None], blk_diags, 0).sum(axis=1)
+        return d.reshape(-1)[:self.n]
+
     def to_dense(self):
         nrb, nbpr, B, _ = self.data.shape
         out = np.zeros((self.n_padded, self.n_padded),
@@ -315,6 +325,11 @@ class BandedOperator(AbstractOperator):
             y = y + self.bands[j].astype(dtype) * \
                 jax.lax.dynamic_slice_in_dim(xp, m + d, self.n)
         return y.reshape(x.shape)
+
+    def diagonal(self):
+        if 0 in self.offsets:
+            return self.bands[self.offsets.index(0)]
+        return jnp.zeros(self.n, self.dtype)
 
     def to_dense(self):
         out = np.zeros((self.n, self.n), np.dtype(self.bands.dtype.name))

@@ -161,6 +161,9 @@ class JaxVector(AbstractVector):
         opt.setdefault("linear_tol", 1e-4)
         opt.setdefault("linear_atol", 1e-4)
         opt.setdefault("gmresRestart", 30)
+        # Optional inner-solve preconditioning (None | "jacobi"); a framework
+        # extension — the reference's scipy solvers were run unpreconditioned.
+        opt.setdefault("preconditioner", None)
         # Reference escalates solver non-convergence warnings to errors
         # (reference: numpyVector.py:175-177).
         opt.setdefault("errorOnNonConvergence", True)
@@ -365,12 +368,14 @@ class JaxVector(AbstractVector):
         elif solver == "minres":
             res = ls.minres(op, barr, sigma, x0=x0arr,
                             rtol=opts["linear_tol"], atol=opts["linear_atol"],
-                            maxiter=opts["linearIter"], reverseGF=reverseGF)
+                            maxiter=opts["linearIter"], reverseGF=reverseGF,
+                            precond=opts.get("preconditioner"))
         elif solver == "gmres":
             res = ls.gmres(op, barr, sigma, x0=x0arr,
                            rtol=opts["linear_tol"], atol=opts["linear_atol"],
                            restart=opts["gmresRestart"],
-                           maxiter=opts["linearIter"], reverseGF=reverseGF)
+                           maxiter=opts["linearIter"], reverseGF=reverseGF,
+                           precond=opts.get("preconditioner"))
         else:
             raise ValueError(
                 f"unknown linearSolver {solver!r}; available: minres, gmres "
@@ -410,7 +415,8 @@ class JaxVector(AbstractVector):
         else:
             fn = ls.minres_batch if solver == "minres" else ls.gmres_batch
             kwargs = dict(rtol=opts["linear_tol"], atol=opts["linear_atol"],
-                          maxiter=opts["linearIter"], reverseGF=reverseGF)
+                          maxiter=opts["linearIter"], reverseGF=reverseGF,
+                          precond=opts.get("preconditioner"))
             if solver == "gmres":
                 kwargs["restart"] = opts["gmresRestart"]
             res = fn(op, B, jnp.asarray(sig, dtype), x0s=X0, **kwargs)
