@@ -48,12 +48,41 @@ from .lanczos import analyzeStatus, checkConvergence
 
 
 @jax.jit
+def _pack_step_outputs(out):
+    """Pack the step's host-bound small outputs into ONE array so a single
+    device->host transfer carries them (each fetch is a full round trip on
+    remote-tunnel TPU platforms, ~tens of ms)."""
+    dtype = out.h_cols.dtype
+    return jnp.concatenate(
+        [out.h_cols, out.s_cols,
+         out.solve_resnorms[:, None].astype(dtype),
+         out.lindep_flags[:, None].astype(dtype)], axis=1)
+
+
+@jax.jit
 def _restart_kernel(V, coeffs):
     """New guesses from Ritz coefficients: (nBlock, n) = coeffs^T V,
     normalized."""
     G = coeffs.T @ V
     nrm = jnp.linalg.norm(G, axis=1, keepdims=True)
     return G / jnp.where(nrm > 0, nrm, 1.0)
+
+
+@jax.jit
+def _guess_block_kernel(op, G):
+    """<g_i | H g_j> for stacked guesses G (k, n) — one device program."""
+    return G.conj() @ jax.vmap(op.matvec)(G).T
+
+
+@jax.jit
+def _restart_block_kernel(op, V, coeffs):
+    """Fused restart: new normalized guesses G = coeffs^T V and their
+    projected H block, returned together (one transfer for the block; G
+    stays on device)."""
+    G = coeffs.T @ V
+    nrm = jnp.linalg.norm(G, axis=1, keepdims=True)
+    G = G / jnp.where(nrm > 0, nrm, 1.0)
+    return G, G.conj() @ jax.vmap(op.matvec)(G).T
 
 
 def fastLanczosDiagonalization(
@@ -98,11 +127,8 @@ def fastLanczosDiagonalization(
     nvec = nBlock
 
     Smat = np.eye(nBlock, dtype=dtype)
-    # initial H block: one fused call with zero-iteration solves is wasteful;
-    # compute <v_i|H|v_j> via the step kernel's column helper on host instead
-    AV0 = np.stack([np.asarray(opH.matvec(jnp.asarray(guesses[i])))
-                    for i in range(nBlock)])
-    Hmat = guesses.conj() @ AV0.T
+    # initial H block <v_i|H|v_j>: one device program, one transfer
+    Hmat = np.asarray(_guess_block_kernel(opH, jnp.asarray(guesses)))
 
     class _StatusGuess:
         hasExactAddition = True
@@ -127,10 +153,12 @@ def fastLanczosDiagonalization(
             with timer.phase("fused_step"):
                 out = block_krylov_step(op, V, jnp.asarray(nvec), seeds, sig,
                                         rt, maxiter=solve_maxiter)
-                h_cols = np.asarray(out.h_cols)
-                s_cols = np.asarray(out.s_cols)
-                lindep_flags = np.asarray(out.lindep_flags)
-                resnorms = np.asarray(out.solve_resnorms)
+                packed = np.asarray(_pack_step_outputs(out))  # ONE transfer
+                Mtot = out.h_cols.shape[1]
+                h_cols = packed[:, :Mtot]
+                s_cols = packed[:, Mtot:2 * Mtot]
+                resnorms = packed[:, 2 * Mtot].real
+                lindep_flags = packed[:, 2 * Mtot + 1].real > 0.5
 
             if np.any(resnorms > max(rtol * 1.5, 1e-12) * 10):
                 # solves are normalized seeds; resnorm is absolute vs ||b||=1
@@ -182,17 +210,22 @@ def fastLanczosDiagonalization(
                 break
         if status.get("lindep") or not continueIteration:
             break
-        # restart from the first nBlock Ritz vectors (one device call)
+        # restart from the first nBlock Ritz vectors (one device call, one
+        # transfer for the small projected block; G stays on device)
         with timer.phase("restart"):
             coeffs = np.zeros((M, nBlock), dtype=dtype)
             coeffs[:nvec, :] = uSH[:, :nBlock].astype(dtype)
-            G = _restart_kernel(V, jnp.asarray(coeffs))
+            G, Hblk = _restart_block_kernel(opH, V, jnp.asarray(coeffs))
             V = jnp.zeros((M, n), dtype).at[:nBlock].set(G)
-            guesses_d = G
             nvec = nBlock
             Smat = np.eye(nBlock, dtype=dtype)
-            AV0 = np.asarray(jax.vmap(opH.matvec)(guesses_d))
-            Hmat = np.asarray(guesses_d.conj() @ AV0.T)
+            Hmat = np.asarray(Hblk)
+            # uSH referred to the pre-restart basis; if the next sweep aborts
+            # before producing a new one (e.g. first-iteration lindep), the
+            # finalize falls back to the restart guesses — which ARE the
+            # previous sweep's Ritz vectors (the stale-variable failure the
+            # reference has at inexact_Lanczos.py:358, SURVEY.md §7).
+            uSH = None
 
     # materialize Ritz vectors (one device call)
     with timer.phase("finalize"):

@@ -1,0 +1,76 @@
+"""Fused low-latency Lanczos driver (the bench path) vs the general driver.
+
+The fused driver runs each Krylov iteration as one device program
+(solvers/step.py) and must reproduce the general driver's eigenpairs under
+the same convergence contract (same eConv / zero-vector / lindep semantics,
+SURVEY.md §7).
+"""
+
+import numpy as np
+import scipy.linalg as la
+
+from eigensolvers_tpu import (JaxVector, inexactLanczosDiagonalization,
+                              find_nearest)
+from eigensolvers_tpu.solvers.fast_lanczos import fastLanczosDiagonalization
+
+
+def _problem(n=100, seed=1212, lam=(1, 200)):
+    ev = np.linspace(*lam, n)
+    rng = np.random.RandomState(seed)
+    Q = la.qr(rng.rand(n, n))[0]
+    A = Q.T @ np.diag(ev) @ Q
+    return A, ev, rng
+
+
+OPTS = {"linearSystemArgs": {"linearSolver": "gmres", "linearIter": 2000,
+                             "linear_tol": 1e-5, "linear_atol": 1e-5,
+                             "errorOnNonConvergence": False}}
+
+
+def test_fast_matches_general_single_vector():
+    A, evE, rng = _problem()
+    sigma = 30.0
+    guess = rng.rand(100)
+    Y0 = [JaxVector(guess / np.linalg.norm(guess), OPTS)]
+    evG, YG, stG = inexactLanczosDiagonalization(
+        A, list(Y0), sigma, 6, 4, 1e-8, writeOut=False)
+    Y0 = [JaxVector(guess / np.linalg.norm(guess), OPTS)]
+    evF, YF, stF = fastLanczosDiagonalization(A, Y0, sigma, 6, 4, 1e-8)
+    want = find_nearest(evE, sigma)[1]
+    assert abs(find_nearest(np.asarray(evF), sigma)[1] - want) < 1e-4
+    assert abs(find_nearest(np.asarray(evG), sigma)[1] -
+               find_nearest(np.asarray(evF), sigma)[1]) < 1e-6
+    assert stF["isConverged"]
+    # returned Ritz vector matches the exact eigenvector up to phase
+    evals, uv = np.linalg.eigh(A)
+    vex = uv[:, np.argmin(np.abs(evals - sigma))]
+    vf = np.asarray(YF[0].array)
+    assert abs(abs(vex @ vf) - 1.0) < 1e-4
+
+
+def test_fast_block_degenerate():
+    n = 100
+    ev = np.linspace(1, 200, n)
+    ev[5:8] = ev[5]  # 3-fold cluster (reference: unittests/test_lanczosBlock.py:17-19)
+    rng = np.random.RandomState(4)
+    Q = la.qr(rng.rand(n, n))[0]
+    A = Q.T @ np.diag(ev) @ Q
+    sigma = float(ev[5]) + 1.5  # off-cluster shift, as the reference test
+    G = la.qr(rng.rand(n, 3), mode="economic")[0]
+    Y0 = [JaxVector(G[:, i], OPTS) for i in range(3)]
+    evF, YF, stF = fastLanczosDiagonalization(A, Y0, sigma, 5, 6, 1e-7)
+    got = np.sort(np.asarray(evF)[np.argsort(np.abs(np.asarray(evF) - sigma))[:3]])
+    np.testing.assert_allclose(got, ev[5:8], rtol=1e-5)
+
+
+def test_fast_restart_path():
+    """Force restarts (L too small to converge in one sweep) — the restart
+    branch must keep the subspace consistent."""
+    A, evE, rng = _problem(n=300, seed=9, lam=(1, 600))
+    sigma = 90.0
+    guess = rng.rand(300)
+    Y0 = [JaxVector(guess / np.linalg.norm(guess), OPTS)]
+    evF, YF, stF = fastLanczosDiagonalization(A, Y0, sigma, 4, 12, 1e-9)
+    want = find_nearest(evE, sigma)[1]
+    assert abs(find_nearest(np.asarray(evF), sigma)[1] - want) < 1e-5
+    assert stF["outerIter"] >= 1  # at least one restart happened
