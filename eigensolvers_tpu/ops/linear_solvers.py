@@ -40,6 +40,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .operators import AbstractOperator
 
@@ -432,3 +433,87 @@ def solve_exact(op, b, sigma, reverseGF=False) -> SolveResult:
                          -1.0 if reverseGF else 1.0)
     return SolveResult(x, jnp.zeros((), jnp.float64), jnp.ones((), jnp.int32),
                        jnp.asarray(True))
+
+
+# ----------------------------------------------------------------------------
+# Split-complex shifted solves — the TPU-native path for FEAST's complex
+# contour shifts (SURVEY.md §7 "complex shifted solves") on backends without
+# complex support.  For real symmetric H and sigma = a + ib the 2x2 real
+# block form of (sigma I - H) x = b,
+#     A_blk = [[aI - H, -bI], [bI, aI - H]],
+# is non-symmetric (restarted GMRES stagnates: its spectrum
+# {sigma-lam} ∪ {conj(sigma)-lam} encircles 0), but J A_blk with
+# J = diag(I, -I) IS symmetric indefinite with eigenvalues
+# ±sqrt((a-lam)^2 + b^2) — condition ~ |sigma - lam|, NOT squared — so
+# all-real MINRES applies with the same conditioning as a complex solve
+# (f32-viable; the quadratic (aI-H)^2 + b^2 alternative squares kappa and
+# stagnates at f32 roundoff).  ||J r|| = ||r||, so the MINRES residual is
+# exactly the complex-system residual and the stopping contract carries over.
+# ----------------------------------------------------------------------------
+def _jsym_block_matvec(op, a, bimag, n):
+    """(J A_blk) u for u = [xr; xi]: rows (A1 xr - b xi, -b xr - A1 xi) with
+    A1 = aI - H.  Two H applications per iteration."""
+    def mv(u):
+        xr, xi = u[:n], u[n:]
+        a1r = a * xr - op.matvec(xr)
+        a1i = a * xi - op.matvec(xi)
+        return jnp.concatenate([a1r - bimag * xi, -bimag * xr - a1i])
+    return mv
+
+
+def _jacobi_jsym(op, a, bimag, n):
+    """SPD (absolute-value) Jacobi for the J-symmetrized block system:
+    |diag| = sqrt((a - d)^2 + b^2) on both halves."""
+    d = op.diagonal()
+    if d is None:
+        return None
+    m = jnp.sqrt((a - d) ** 2 + bimag * bimag)
+    floor = 1e-8 * jnp.maximum(jnp.max(m), 1.0)
+    minv = 1.0 / jnp.maximum(m, floor)
+    minv2 = jnp.concatenate([minv, minv])
+    return lambda r: minv2 * r
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter", "precond"))
+def _splitc_batch_jit(op, bs, sig_re, sig_im, x0s, rtol, atol, gf_sign,
+                      maxiter, precond=None):
+    n = bs.shape[-1]
+
+    def f(b, a, bi, x0):
+        if precond in (None, "none"):
+            psolve = None
+        elif precond == "jacobi":
+            psolve = _jacobi_jsym(op, a, bi, n)
+        else:
+            raise ValueError(
+                f"unknown preconditioner {precond!r}; available: jacobi")
+        # rhs = J [b; 0] = [b; 0]; solution u = [Re x, Im x]
+        rhs = jnp.concatenate([b, jnp.zeros_like(b)])
+        res = _minres_fixed(_jsym_block_matvec(op, a, bi, n), rhs,
+                            jnp.concatenate([x0, jnp.zeros_like(x0)]),
+                            rtol, atol, maxiter, psolve=psolve)
+        x = gf_sign * res.x
+        return SolveResult(x.reshape(2, n), res.resnorm, res.iterations,
+                           res.converged)
+    return jax.vmap(f)(bs, sig_re, sig_im, x0s)
+
+
+def gmres_splitc_batch(op, bs_real, sigmas, x0s=None, rtol=1e-4, atol=0.0,
+                       restart=30, maxiter=1000, reverseGF=False,
+                       precond=None) -> SolveResult:
+    """Batched complex-shifted solves of a REAL symmetric operator without
+    any complex dtype on device (J-symmetrized real-block MINRES; see module
+    comment above).  ``bs_real`` (nlanes, n) real right-hand sides;
+    ``sigmas`` complex.  Returns SolveResult with x of shape (nlanes, 2, n)
+    = (Re x, Im x).  ``restart`` is accepted for signature parity and
+    ignored (MINRES is a short recurrence)."""
+    bs_real = jnp.asarray(bs_real)
+    nl, n = bs_real.shape
+    sig = np.asarray(sigmas, np.complex128)
+    rdtype = bs_real.dtype
+    X0 = jnp.zeros_like(bs_real) if x0s is None else \
+        jnp.asarray(x0s).reshape(nl, n)
+    return _splitc_batch_jit(
+        op, bs_real, jnp.asarray(sig.real, rdtype),
+        jnp.asarray(sig.imag, rdtype), X0, rtol, atol,
+        -1.0 if reverseGF else 1.0, maxiter, precond=precond)

@@ -98,6 +98,23 @@ def _contour(eMin, eMax, nc, quad, contourEllipseFactor):
     return gk, wk, thetas, zs
 
 
+def _use_split_complex(Y):
+    """Split-complex (all-real 2x2 block) solves are the TPU-native path for
+    the complex contour shifts: used when the subspace is real, the backend
+    implements it, and either the platform lacks complex support (TPU) or the
+    user forces it via linearSystemArgs["splitComplex"]."""
+    typeClass = type(Y[0])
+    if not hasattr(typeClass, "solveBatchSplit"):
+        return False
+    if any(np.iscomplexobj(np.zeros((), dtype=y.dtype)) for y in Y):
+        return False
+    forced = Y[0].options.get("linearSystemArgs", {}).get("splitComplex")
+    if forced is not None:
+        return bool(forced)
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
 def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
                                contourEllipseFactor):
     """Apply the rational filter to all m0 subspace vectors with ALL
@@ -109,11 +126,16 @@ def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
     # batch layout: lane (k, i) solves (z_k I - A) x = Y[i]
     bs = [Y[i] for k in range(nk) for i in range(m0)]
     sigmas = [complex(zs[k]) for k in range(nk) for _ in range(m0)]
-    sols = typeClass.solveBatch(A, bs, sigmas, opType="gen")
 
     mults = np.array([-0.50 * wk[k] * eRadius * (
         contourEllipseFactor * math.cos(thetas[k])
         + math.sin(thetas[k]) * 1j) for k in range(nk)])
+
+    if _use_split_complex(Y):
+        sols = typeClass.solveBatchSplit(A, bs, sigmas)
+        return typeClass._accumulate_quadrature_split(sols, mults, m0)
+
+    sols = typeClass.solveBatch(A, bs, sigmas, opType="gen")
 
     fused = getattr(typeClass, "_accumulate_quadrature", None)
     if fused is not None:

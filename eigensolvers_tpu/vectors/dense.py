@@ -112,6 +112,16 @@ def _quad_accum_kernel(S, mults):
 
 
 @jax.jit
+def _quad_accum_split_kernel(S, mre, mim):
+    """Split-complex FEAST accumulation: S (nk, m0, 2, n) real with
+    S[..., 0, :] = Re(x), S[..., 1, :] = Im(x); out[i] =
+    sum_k Re(mult_k)*Re(x_ki) - Im(mult_k)*Im(x_ki) — all-real arithmetic
+    (no complex dtype touches the device)."""
+    return (jnp.tensordot(mre, S[:, :, 0, :], axes=([0], [0]))
+            - jnp.tensordot(mim, S[:, :, 1, :], axes=([0], [0])))
+
+
+@jax.jit
 def _mgs_kernel(x, Q):
     """Sequential (modified) Gram-Schmidt of x against stacked rows Q.
 
@@ -330,7 +340,59 @@ class JaxVector(AbstractVector):
         shape = sols[0].array.shape
         return [cls(out[i].reshape(shape), sols[0].options) for i in range(m0)]
 
+    @classmethod
+    def _accumulate_quadrature_split(cls, sols, mults, m0: int):
+        """FEAST fast path for split-complex solves: sols are vectors whose
+        array is the (2, n) stacked (Re, Im) solution."""
+        S = jnp.stack([s.array for s in sols])            # (nk*m0, 2, n)
+        nk = len(mults)
+        mults = np.asarray(mults)
+        out = _quad_accum_split_kernel(
+            S.reshape(nk, m0, 2, -1),
+            jnp.asarray(mults.real), jnp.asarray(mults.imag))
+        return [cls(out[i], sols[0].options) for i in range(m0)]
+
+    @classmethod
+    def solveBatchSplit(cls, H, bs: List["JaxVector"], sigmas, x0s=None,
+                        reverseGF: bool = False):
+        """Batched complex-shifted solves of a REAL operator without any
+        complex dtype on device (split-complex 2x2 real-block GMRES; the
+        TPU-native path for FEAST contour shifts).  Returns vectors whose
+        array is (2, n) = (Re x, Im x)."""
+        opts = bs[0].options["linearSystemArgs"]
+        op = cls._as_operator(H, bs[0])
+        B = jnp.stack([b.array.ravel() for b in bs])
+        assert not jnp.iscomplexobj(B), "split solves need real RHS"
+        res = ls.gmres_splitc_batch(
+            op, B, sigmas,
+            x0s=None if x0s is None else jnp.stack([x.array for x in x0s]),
+            rtol=opts["linear_tol"], atol=opts["linear_atol"],
+            restart=opts["gmresRestart"], maxiter=opts["linearIter"],
+            reverseGF=reverseGF, precond=opts.get("preconditioner"))
+        conv_a, resn_a, its_a = jax.device_get(
+            (res.converged, res.resnorm, res.iterations))
+        for k, ok in enumerate(conv_a):
+            if not bool(ok):
+                msg = (f"Batched split solver lane {k} did not converge: "
+                       f"residual {float(resn_a[k]):.3e} after "
+                       f"{int(its_a[k])} iterations")
+                if opts.get("errorOnNonConvergence", True):
+                    raise RuntimeError(msg)
+                warnings.warn(msg)
+        return [cls(res.x[k], bs[k].options) for k in range(len(bs))]
+
     # -- linear solves ------------------------------------------------------
+    @staticmethod
+    def _solve_dtype(op, sigma, *vec_dtypes):
+        """Solve dtype: the DATA (operator/vector) dtype decides precision;
+        the shift only decides complexness (weak-scalar rule — a Python
+        complex sigma must not upcast an f32 problem to c128, which TPUs
+        do not support)."""
+        base = np.result_type(np.dtype(op.dtype), *vec_dtypes)
+        if np.iscomplexobj(np.asarray(sigma)):
+            return np.result_type(base, np.complex64)
+        return base
+
     @staticmethod
     def _solve_opts(b: "JaxVector", sigma, opType):
         opts = b.options["linearSystemArgs"]
@@ -359,7 +421,7 @@ class JaxVector(AbstractVector):
         """(sigma*I - H) x = b, inexactly (reference: numpyVector.py:147-178)."""
         solver, opts = cls._solve_opts(b, sigma, opType)
         op = cls._as_operator(H, b)
-        dtype = np.result_type(np.asarray(sigma).dtype, np.dtype(op.dtype), b.dtype)
+        dtype = cls._solve_dtype(op, sigma, b.dtype)
         barr = b.array.ravel().astype(dtype)
         x0arr = None if x0 is None else x0.array.ravel().astype(dtype)
 
@@ -381,10 +443,14 @@ class JaxVector(AbstractVector):
                 f"unknown linearSolver {solver!r}; available: minres, gmres "
                 f"(alias gcrotmk), exact (alias pardiso)")
 
-        if not bool(res.converged):
+        # one host transfer for the three convergence scalars (each separate
+        # fetch is a full round trip on remote-executor TPU platforms)
+        conv, resnorm, iters = jax.device_get(
+            (res.converged, res.resnorm, res.iterations))
+        if not bool(conv):
             msg = (f"Iterative solver {solver} did not converge: "
-                   f"residual {float(res.resnorm):.3e} after "
-                   f"{int(res.iterations)} iterations")
+                   f"residual {float(resnorm):.3e} after "
+                   f"{int(iters)} iterations")
             if opts.get("errorOnNonConvergence", True):
                 raise RuntimeError(msg)
             warnings.warn(msg)
@@ -399,8 +465,7 @@ class JaxVector(AbstractVector):
         solver, opts = cls._solve_opts(bs[0], np.asarray(sigmas), opType)
         op = cls._as_operator(H, bs[0])
         sig = np.asarray(sigmas)
-        dtype = np.result_type(sig.dtype, np.dtype(op.dtype),
-                               *[b.dtype for b in bs])
+        dtype = cls._solve_dtype(op, sig, *[b.dtype for b in bs])
         B = jnp.stack([b.array.ravel().astype(dtype) for b in bs])
         X0 = None if x0s is None else \
             jnp.stack([x.array.ravel().astype(dtype) for x in x0s])
@@ -409,9 +474,11 @@ class JaxVector(AbstractVector):
             outs = [ls.solve_exact(op, B[k], sig[k], reverseGF=reverseGF)
                     for k in range(len(bs))]
             xs = [o.x for o in outs]
-            conv = [bool(o.converged) for o in outs]
-            resn = [float(o.resnorm) for o in outs]
-            its = [int(o.iterations) for o in outs]
+            conv, resn, its = [list(map(t, a)) for t, a in zip(
+                (bool, float, int),
+                jax.device_get(([o.converged for o in outs],
+                                [o.resnorm for o in outs],
+                                [o.iterations for o in outs])))]
         else:
             fn = ls.minres_batch if solver == "minres" else ls.gmres_batch
             kwargs = dict(rtol=opts["linear_tol"], atol=opts["linear_atol"],
@@ -421,9 +488,13 @@ class JaxVector(AbstractVector):
                 kwargs["restart"] = opts["gmresRestart"]
             res = fn(op, B, jnp.asarray(sig, dtype), x0s=X0, **kwargs)
             xs = list(res.x)
-            conv = [bool(c) for c in res.converged]
-            resn = [float(r) for r in res.resnorm]
-            its = [int(i) for i in res.iterations]
+            # fetch the per-lane convergence data in ONE transfer, not 3 per
+            # lane (remote platforms pay a full round trip per fetch)
+            conv_a, resn_a, its_a = jax.device_get(
+                (res.converged, res.resnorm, res.iterations))
+            conv = [bool(c) for c in conv_a]
+            resn = [float(r) for r in resn_a]
+            its = [int(i) for i in its_a]
 
         for k, ok in enumerate(conv):
             if not ok:

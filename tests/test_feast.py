@@ -91,3 +91,32 @@ def test_eigenvectors(problem):
         np.testing.assert_allclose(abs(ovlp), 1, rtol=1e-2)
         np.testing.assert_allclose(exactVector, feastVector * ovlp,
                                    rtol=1e-2, atol=1e-2)
+
+
+def test_feast_split_complex_matches_complex_path(problem):
+    """The split-complex (all-real J-symmetrized MINRES) quadrature path —
+    the TPU-native route for backends without complex support — must
+    reproduce the complex-arithmetic path's eigenvalues."""
+    p = problem
+    evC, _, _ = feastDiagonalization(
+        p["A"], list(p["Y"]), p["nc"], "legendre", p["rmin"], p["rmax"],
+        eConv=1e-10, maxit=20, writeOut=False)
+    opts = dict(p["Y"][0].options)
+    lsa = dict(opts["linearSystemArgs"])
+    lsa["splitComplex"] = True
+    lsa["linear_tol"] = 1e-8
+    opts["linearSystemArgs"] = lsa
+    Ys = [JaxVector(np.asarray(y.array), opts) for y in p["Y"]]
+    evS, _, stS = feastDiagonalization(
+        p["A"], Ys, p["nc"], "legendre", p["rmin"], p["rmax"],
+        eConv=1e-10, maxit=20, writeOut=False)
+    evC = np.sort(np.asarray(evC))
+    evS = np.sort(np.asarray(evS))
+    inside = p["evEigh"][(p["evEigh"] > p["rmin"]) & (p["evEigh"] < p["rmax"])]
+    for t in inside:
+        assert np.min(np.abs(evS - t)) < 1e-4
+    # paths agree on the in-window eigenvalues
+    for t in inside:
+        c = evC[np.argmin(np.abs(evC - t))]
+        s = evS[np.argmin(np.abs(evS - t))]
+        assert abs(c - s) < 1e-6, (c, s)
