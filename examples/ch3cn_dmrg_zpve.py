@@ -6,6 +6,12 @@ Pipeline: MCTDH .op file → grouped SoP operator → bond-compressed MPO →
 DMRG eigensweep at modest bond dimension.
 """
 
+
+# allow running directly from a checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

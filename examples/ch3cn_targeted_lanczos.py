@@ -21,6 +21,12 @@ demonstrate the pipeline within minutes; scale N_prod/maxD/sweep budgets
 for production accuracy.
 """
 
+
+# allow running directly from a checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -4,6 +4,12 @@ Parity: reference examples/driver_numpyVector.py (small and larger configs).
 Run: python examples/driver_dense.py [--large] [--cpu]
 """
 
+
+# allow running directly from a checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

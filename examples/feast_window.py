@@ -3,6 +3,12 @@
 Parity: reference feast.py __main__ demo (window [160,166], nc=8 legendre).
 """
 
+
+# allow running directly from a checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

@@ -5,6 +5,12 @@ Parity: the role of the reference's TTNS Lanczos examples
 (examples/ttns2_ch3cn.py) at a test-scale cut with a dense oracle check.
 """
 
+
+# allow running directly from a checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

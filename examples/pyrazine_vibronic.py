@@ -6,6 +6,12 @@ Parity: the role of the reference's TTNS example drivers
 (examples/ttns2_ch3cn.py family) on the in-repo pyr4+.op model.
 """
 
+
+# allow running directly from a checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

@@ -4,6 +4,12 @@ eigenstate by overlap instead of energy distance.
 Parity: reference examples/stateFollowingHO.py.
 """
 
+
+# allow running directly from a checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np
