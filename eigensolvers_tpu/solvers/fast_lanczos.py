@@ -16,8 +16,10 @@ convergence contract):
     non-conjugated MGS (identical for real data up to roundoff);
   * the basis buffer is preallocated at ``nBlock*(L-1)+nBlock`` rows padded
     to a power of two — no dynamic shapes;
-  * only the ``close_to_sigma`` pick family is supported here (maxOvlp needs
-    per-vector host dots; use the general driver for state-following).
+  * pick functions are supported through lazy basis-row proxies whose
+    ``vdot`` against a reference state is computed as ONE batched device
+    dot per (iteration, reference) — state-following (maxOvlp) runs at
+    fused-path speed.
 
 Returns the same (ev, vectors, status) triple; vectors come back as backend
 vectors reconstructed from the basis buffer.
@@ -66,6 +68,36 @@ def _restart_kernel(V, coeffs):
     G = coeffs.T @ V
     nrm = jnp.linalg.norm(G, axis=1, keepdims=True)
     return G / jnp.where(nrm > 0, nrm, 1.0)
+
+
+@jax.jit
+def _ovlp_col_kernel(V, r):
+    """<v_j | r> for all stacked basis rows — one device dot."""
+    return V.conj() @ r
+
+
+def _row_proxies(V, nvec):
+    """Lazy stand-ins for the Krylov basis list, for pick functions
+    (which only use ``vdot`` — both reference pick families do,
+    reference: util_funcs.py:305-344): the overlap column against each
+    distinct reference vector is computed once on device and cached."""
+    cache = {}
+
+    class _Row:
+        __slots__ = ("i",)
+
+        def __init__(self, i):
+            self.i = i
+
+        def vdot(self, other, conjugate: bool = True):
+            key = id(other)
+            if key not in cache:
+                arr = jnp.asarray(np.asarray(other.array).ravel())
+                cache[key] = np.asarray(_ovlp_col_kernel(V, arr.astype(V.dtype)))
+            val = cache[key][self.i]
+            return complex(val) if np.iscomplexobj(val) else float(val)
+
+    return [_Row(i) for i in range(nvec)]
 
 
 @jax.jit
@@ -200,7 +232,10 @@ def fastLanczosDiagonalization(
                                                status)
                 ev, uv = diagonalizeHamiltonian(uS, Hmat.astype(uS.dtype))
                 uSH = uS @ uv
-                idx = np.argsort(np.abs(ev - sigma))
+                if pick is None:
+                    idx = np.argsort(np.abs(ev - sigma))
+                else:
+                    idx = pick(uSH, _row_proxies(V, uSH.shape[0]), ev)
                 ev = ev[idx]
                 uSH = uSH[:, idx]
 

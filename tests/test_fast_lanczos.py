@@ -74,3 +74,25 @@ def test_fast_restart_path():
     want = find_nearest(evE, sigma)[1]
     assert abs(find_nearest(np.asarray(evF), sigma)[1] - want) < 1e-5
     assert stF["outerIter"] >= 1  # at least one restart happened
+
+
+def test_fast_state_following_maxovlp():
+    """maxOvlp pick on the fused path: track a TARGETED eigenvector past a
+    nearer-to-sigma root (reference: unittests/test_stateFollowingHO.py
+    strategy), using the lazy basis-row proxies."""
+    from eigensolvers_tpu import get_pick_function_maxOvlp
+    A, evE, rng = _problem(n=120, seed=2, lam=(1, 240))
+    evals, uv = np.linalg.eigh(A)
+    sigma = 50.0
+    order = np.argsort(np.abs(evals - sigma))
+    target = order[1]  # second-nearest: following must beat proximity
+    ref = JaxVector(uv[:, target])
+    pick = get_pick_function_maxOvlp(ref)
+    guess = uv[:, target] + 0.05 * rng.rand(120)
+    Y0 = [JaxVector(guess / np.linalg.norm(guess), OPTS)]
+    evF, YF, stF = fastLanczosDiagonalization(A, Y0, sigma, 8, 6, 1e-9,
+                                              pick=pick)
+    got = float(np.asarray(evF)[0])
+    assert abs(got - evals[target]) < 1e-4 * max(1.0, abs(evals[target]))
+    v = np.asarray(YF[0].array)
+    assert abs(abs(uv[:, target] @ v) - 1.0) < 1e-3

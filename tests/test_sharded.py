@@ -125,3 +125,38 @@ def test_sharded_arbitrary_length(mesh):
     vD = np.asarray(YD[0].array)
     phase = np.sign(vD @ vS[:100])
     np.testing.assert_allclose(phase * vS[:100], vD, atol=1e-6)
+
+
+def test_sharded_sop_lanczos(mesh):
+    """Mesh-sharded state × SoP (Kronecker) operator — the scale axis that
+    replaces TTNS compression (SURVEY.md §2.4 item 1): 8-device run must
+    match the dense single-device run on a product-basis Hamiltonian."""
+    from eigensolvers_tpu import SumOfProductOperator, find_nearest
+    rng = np.random.RandomState(3)
+    dims = (8, 4, 4)  # n = 128, divisible by the 8-way mesh
+    terms = []
+    for _ in range(5):
+        modes = sorted(rng.choice(3, size=2, replace=False))
+        facs = {}
+        for d in modes:
+            M = rng.rand(dims[d], dims[d]) - 0.5
+            facs[int(d)] = (M + M.T) / 2
+        terms.append((float(rng.rand() + 0.5), facs))
+    op = SumOfProductOperator.from_terms(3, dims, terms)
+    Hd = np.asarray(op.to_dense())
+    evE = np.linalg.eigvalsh(Hd)
+    sigma = float(evE[len(evE) // 2] + 0.01)
+    guess = rng.rand(128)
+
+    evD, _, _ = _run(op, guess, JaxVector, sigma=sigma)
+    ShardedVector.set_default_mesh(mesh)
+    try:
+        from eigensolvers_tpu.parallel import shard_operator
+        evS, YS, _ = _run(shard_operator(op, mesh), guess, ShardedVector,
+                          sigma=sigma)
+    finally:
+        ShardedVector.set_default_mesh(None)
+    want = find_nearest(evE, sigma)[1]
+    assert abs(find_nearest(np.asarray(evD), sigma)[1] - want) < 1e-6
+    assert abs(find_nearest(np.asarray(evS), sigma)[1] -
+               find_nearest(np.asarray(evD), sigma)[1]) < 1e-8
