@@ -27,6 +27,7 @@ vectors reconstructed from the basis buffer.
 
 from __future__ import annotations
 
+import functools
 import time
 import warnings
 from typing import List, Optional, Union
@@ -70,10 +71,11 @@ def _restart_kernel(V, coeffs):
     return G / jnp.where(nrm > 0, nrm, 1.0)
 
 
-@jax.jit
-def _ovlp_col_kernel(V, r):
-    """<v_j | r> for all stacked basis rows — one device dot."""
-    return V.conj() @ r
+@functools.partial(jax.jit, static_argnames=("conj",))
+def _ovlp_col_kernel(V, r, conj=True):
+    """<v_j | r> (or the non-conjugated dot) for all stacked basis rows —
+    one device dot."""
+    return (V.conj() if conj else V) @ r
 
 
 def _row_proxies(V, nvec):
@@ -90,10 +92,11 @@ def _row_proxies(V, nvec):
             self.i = i
 
         def vdot(self, other, conjugate: bool = True):
-            key = id(other)
+            key = (id(other), conjugate)
             if key not in cache:
                 arr = jnp.asarray(np.asarray(other.array).ravel())
-                cache[key] = np.asarray(_ovlp_col_kernel(V, arr.astype(V.dtype)))
+                cache[key] = np.asarray(
+                    _ovlp_col_kernel(V, arr, conj=conjugate))
             val = cache[key][self.i]
             return complex(val) if np.iscomplexobj(val) else float(val)
 
@@ -144,8 +147,15 @@ def fastLanczosDiagonalization(
     solve_maxiter = solve_maxiter if solve_maxiter is not None else \
         opts.get("linearIter", 1000)
 
-    op = as_operator(Hsolve if Hsolve is not None else H)
-    opH = as_operator(H)
+    # honor the vector class's operator coercion so padded ShardedVector
+    # states (length rounded up to the mesh extent) get PaddedOperator
+    # reconciliation exactly like the general driver
+    if isinstance(v0, (list, tuple)) and hasattr(type(v0[0]), "_as_operator"):
+        _coerce = lambda h: type(v0[0])._as_operator(h, v0[0])
+    else:
+        _coerce = as_operator
+    op = _coerce(Hsolve if Hsolve is not None else H)
+    opH = _coerce(H)
     dtype = np.result_type(np.dtype(op.dtype), guesses.dtype)
 
     # orthonormalize guesses (host QR — tiny)

@@ -98,15 +98,20 @@ def _contour(eMin, eMax, nc, quad, contourEllipseFactor):
     return gk, wk, thetas, zs
 
 
-def _use_split_complex(Y):
+def _use_split_complex(A, Y):
     """Split-complex (all-real 2x2 block) solves are the TPU-native path for
-    the complex contour shifts: used when the subspace is real, the backend
-    implements it, and either the platform lacks complex support (TPU) or the
-    user forces it via linearSystemArgs["splitComplex"]."""
+    the complex contour shifts: used when both the operator and the subspace
+    are real, the backend implements it, and either the platform lacks
+    complex support (TPU) or the user forces it via
+    linearSystemArgs["splitComplex"]."""
     typeClass = type(Y[0])
     if not hasattr(typeClass, "solveBatchSplit"):
         return False
     if any(np.iscomplexobj(np.zeros((), dtype=y.dtype)) for y in Y):
+        return False
+    # the J-symmetrization requires a REAL symmetric operator
+    a_dtype = getattr(A, "dtype", None)
+    if a_dtype is None or np.iscomplexobj(np.zeros((), dtype=np.dtype(a_dtype))):
         return False
     forced = Y[0].options.get("linearSystemArgs", {}).get("splitComplex")
     if forced is not None:
@@ -131,9 +136,10 @@ def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
         contourEllipseFactor * math.cos(thetas[k])
         + math.sin(thetas[k]) * 1j) for k in range(nk)])
 
-    if _use_split_complex(Y):
+    if _use_split_complex(A, Y):
         sols = typeClass.solveBatchSplit(A, bs, sigmas)
-        return typeClass._accumulate_quadrature_split(sols, mults, m0)
+        return typeClass._accumulate_quadrature_split(sols, mults, m0,
+                                                      Y[0].options)
 
     sols = typeClass.solveBatch(A, bs, sigmas, opType="gen")
 

@@ -341,16 +341,18 @@ class JaxVector(AbstractVector):
         return [cls(out[i].reshape(shape), sols[0].options) for i in range(m0)]
 
     @classmethod
-    def _accumulate_quadrature_split(cls, sols, mults, m0: int):
-        """FEAST fast path for split-complex solves: sols are vectors whose
-        array is the (2, n) stacked (Re, Im) solution."""
-        S = jnp.stack([s.array for s in sols])            # (nk*m0, 2, n)
+    def _accumulate_quadrature_split(cls, sols, mults, m0: int, options=None):
+        """FEAST fast path for split-complex solves: sols are raw (2, n)
+        Re/Im-stacked device arrays (NOT backend vectors — a (2, n) array is
+        not a valid sharded state, so wrapping is deferred to the final real
+        (n,) accumulants)."""
+        S = jnp.stack(sols)                               # (nk*m0, 2, n)
         nk = len(mults)
         mults = np.asarray(mults)
         out = _quad_accum_split_kernel(
             S.reshape(nk, m0, 2, -1),
             jnp.asarray(mults.real), jnp.asarray(mults.imag))
-        return [cls(out[i], sols[0].options) for i in range(m0)]
+        return [cls(out[i], options) for i in range(m0)]
 
     @classmethod
     def solveBatchSplit(cls, H, bs: List["JaxVector"], sigmas, x0s=None,
@@ -379,7 +381,7 @@ class JaxVector(AbstractVector):
                 if opts.get("errorOnNonConvergence", True):
                     raise RuntimeError(msg)
                 warnings.warn(msg)
-        return [cls(res.x[k], bs[k].options) for k in range(len(bs))]
+        return list(res.x)
 
     # -- linear solves ------------------------------------------------------
     @staticmethod

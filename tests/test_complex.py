@@ -53,3 +53,20 @@ def test_complex_orthogonalize(problem):
         qs.append(q)
     S = JaxVector.overlapMatrix(qs)
     np.testing.assert_allclose(S, np.eye(4), atol=1e-12)
+
+
+def test_split_complex_not_selected_for_complex_operator():
+    """A complex-Hermitian operator with REAL guess vectors must not route to
+    the real-only split-complex FEAST path (regression: the auto-selection
+    once keyed on subspace dtype only)."""
+    from eigensolvers_tpu.solvers.feast import _use_split_complex
+    from eigensolvers_tpu import JaxVector
+    rng = np.random.RandomState(0)
+    n = 16
+    M = rng.rand(n, n) + 1j * rng.rand(n, n)
+    A = (M + M.conj().T) / 2
+    Y = [JaxVector(rng.rand(n),
+                   {"linearSystemArgs": {"splitComplex": True}})]
+    assert not _use_split_complex(A, Y)
+    # and with a real operator, forcing works
+    assert _use_split_complex(A.real + A.real.T, Y)

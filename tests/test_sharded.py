@@ -160,3 +160,30 @@ def test_sharded_sop_lanczos(mesh):
     assert abs(find_nearest(np.asarray(evD), sigma)[1] - want) < 1e-6
     assert abs(find_nearest(np.asarray(evS), sigma)[1] -
                find_nearest(np.asarray(evD), sigma)[1]) < 1e-8
+
+
+def test_sharded_feast_split_complex(mesh):
+    """Forced split-complex FEAST through the sharded backend (the TPU route:
+    split path auto-selects on non-CPU platforms) — regression for the (2, n)
+    Re/Im intermediates, which are raw arrays, not sharded states."""
+    n = 96
+    ev = np.linspace(1, 200, n)
+    rng = np.random.RandomState(5)
+    Q = la.qr(rng.rand(n, n))[0]
+    A = Q.T @ np.diag(ev) @ Q
+    inside = ev[(ev > 60) & (ev < 66)]
+    m0 = len(inside) + 2
+    G = la.qr(rng.rand(n, m0), mode="economic")[0]
+    options = {"linearSystemArgs": {
+        "linearSolver": "gcrotmk", "linearIter": 3000, "linear_tol": 1e-6,
+        "splitComplex": True, "errorOnNonConvergence": False}}
+    ShardedVector.set_default_mesh(mesh)
+    try:
+        Y = [ShardedVector(G[:, i], options) for i in range(m0)]
+        evF, YF, st = feastDiagonalization(
+            A, Y, 8, "legendre", 60.0, 66.0, 1e-8, 20, writeOut=False)
+    finally:
+        ShardedVector.set_default_mesh(None)
+    evF = np.asarray(evF)
+    for t in inside:
+        assert np.min(np.abs(evF - t)) < 1e-4, (t, evF)
