@@ -183,6 +183,14 @@ def fastLanczosDiagonalization(
     sig = jnp.asarray(sigma, dtype)
     rt = jnp.asarray(rtol, dtype)
 
+    # Speculative pipelining: JAX dispatch is async, so the NEXT Krylov step
+    # is enqueued before the host blocks on the current step's small-output
+    # transfer — the device computes step i+1 while the host does step i's
+    # subspace bookkeeping.  Step i+1 only needs V_{i+1} (device) and the new
+    # rows as seeds, both available without a fetch; if step i converges or
+    # hits lindep, the speculative result is simply dropped (semantics
+    # identical to the sequential loop).
+    spec = None  # (out, nvec it was dispatched for, V it read)
     for outerIter in range(maxit):
         status["outerIter"] = outerIter
         status["KSmaxD"] = [0]
@@ -190,12 +198,24 @@ def fastLanczosDiagonalization(
             status["innerIter"] = innerIter
             status["cumIter"] += 1
 
-            seeds = jax.lax.dynamic_slice_in_dim(
-                V, nvec - nBlock, nBlock, axis=0)
             with timer.phase("fused_step"):
-                out = block_krylov_step(op, V, jnp.asarray(nvec), seeds, sig,
-                                        rt, maxiter=solve_maxiter)
-                packed = np.asarray(_pack_step_outputs(out))  # ONE transfer
+                if spec is not None and spec[1] == nvec:
+                    out = spec[0]
+                else:
+                    seeds = jax.lax.dynamic_slice_in_dim(
+                        V, nvec - nBlock, nBlock, axis=0)
+                    out = block_krylov_step(op, V, jnp.asarray(nvec), seeds,
+                                            sig, rt, maxiter=solve_maxiter)
+                spec = None
+                packed_dev = _pack_step_outputs(out)
+                V_next = jax.lax.dynamic_update_slice_in_dim(
+                    V, out.new_vectors, nvec, axis=0)
+                if innerIter + 1 < L:
+                    out2 = block_krylov_step(
+                        op, V_next, jnp.asarray(nvec + nBlock),
+                        out.new_vectors, sig, rt, maxiter=solve_maxiter)
+                    spec = (out2, nvec + nBlock, V_next)
+                packed = np.asarray(packed_dev)  # ONE transfer, overlapped
                 Mtot = out.h_cols.shape[1]
                 h_cols = packed[:, :Mtot]
                 s_cols = packed[:, Mtot:2 * Mtot]
@@ -207,6 +227,7 @@ def fastLanczosDiagonalization(
                 pass  # tolerated: inexact semantics; tracked via status
             if np.any(lindep_flags):
                 status["lindep"] = True
+                spec = None
                 warnings.warn(
                     f"Linear dependency in fused step at iteration "
                     f"{outerIter}/{innerIter}; stopping with current basis")
@@ -214,10 +235,7 @@ def fastLanczosDiagonalization(
 
             # accept new vectors: extend S/H from the fused columns
             with timer.phase("subspace_update"):
-                # the step already wrote the new rows into its working copy;
-                # mirror that host-side bookkeeping
-                newV = out.new_vectors
-                V = jax.lax.dynamic_update_slice_in_dim(V, newV, nvec, axis=0)
+                V = V_next
                 mtot = nvec + nBlock
                 Snew = np.zeros((mtot, mtot), dtype=s_cols.dtype)
                 Snew[:nvec, :nvec] = Smat[:nvec, :nvec] if Smat.shape[0] >= nvec \
@@ -257,6 +275,7 @@ def fastLanczosDiagonalization(
             break
         # restart from the first nBlock Ritz vectors (one device call, one
         # transfer for the small projected block; G stays on device)
+        spec = None  # speculation read the pre-restart basis — drop it
         with timer.phase("restart"):
             coeffs = np.zeros((M, nBlock), dtype=dtype)
             coeffs[:nvec, :] = uSH[:, :nBlock].astype(dtype)
