@@ -17,7 +17,6 @@ operator object drives the dense, sharded, and MPS backends.
 
 from __future__ import annotations
 
-import math
 from functools import reduce
 from typing import List, Optional, Sequence
 

@@ -14,7 +14,6 @@ Mesh convention used throughout:
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import jax

@@ -18,19 +18,23 @@ shifts), each basis operation re-compressed; with generous ``maxD`` this
 reproduces dense results, with tight ``maxD`` it behaves like the
 reference's inexact sweep solvers.
 
-Contractions are jnp (XLA) ops; bond dimensions vary during a run, so this
-backend runs eagerly (per-shape jit would thrash the compile cache).  A
-fixed-bond, fully-jitted ALS sweep path is the planned production
-optimization.
+Execution placement: contractions run on HOST (numpy/LAPACK, float64), by
+design rather than omission.  DMRG-style sweeps over maxD ≈ 10-100 bonds are
+sequential chains of sub-millisecond small-tensor ops with data-dependent
+(truncation-chosen) shapes — on an accelerator each op pays dispatch latency
+and every new bond-dimension combination a fresh compile, so XLA placement
+is strictly slower until bond dimensions reach O(10^3); the f64 precision
+the 1e-14 lindep contract needs is also native here.  The TPU answer to
+problems beyond host scale is not this backend but the sharded uncompressed
+one (parallel/sharded.py) — same role split as the reference, whose TTNS
+sweeps are likewise CPU code (SURVEY.md §2.2).
 """
 
 from __future__ import annotations
 
-import warnings
 from numbers import Number
 from typing import List, Optional, Sequence, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from .abstract import AbstractVector, LINDEP_DEFAULT_VALUE

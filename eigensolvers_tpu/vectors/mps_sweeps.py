@@ -110,7 +110,7 @@ def dmrg_eigensolve(mpo_tensors: List[np.ndarray], dims: List[int],
 
     :returns: (energies list, list of MPS tensor-lists)
     """
-    from .mps import mps_random, mps_vdot, mps_compress
+    from .mps import mps_random, mps_vdot
 
     energies = []
     states = []
