@@ -111,7 +111,10 @@ def _minres_fixed(matvec, b, x0, rtol, atol, maxiter, psolve=None):
         s = 1.0 / c["beta"]
         v = s * c["y"]
         y = matvec(v)
-        y = jnp.where(itn >= 2, 1.0, 0.0) * (-(c["beta"] / jnp.where(c["oldb"] > 0, c["oldb"], 1.0)) * c["r1"]) + y
+        # The b_{k-1} correction applies from each sweep's SECOND iteration on
+        # (oldb is exactly 0 only on a sweep's first step) — gating on the
+        # global itn would corrupt the first step of warm-restart sweeps.
+        y = jnp.where(c["oldb"] > 0, 1.0, 0.0) * (-(c["beta"] / jnp.where(c["oldb"] > 0, c["oldb"], 1.0)) * c["r1"]) + y
         alfa = jnp.real(jnp.vdot(v, y))
         y = y - (alfa / c["beta"]) * c["r2"]
         r1, r2 = c["r2"], y
@@ -167,58 +170,6 @@ def _minres_fixed(matvec, b, x0, rtol, atol, maxiter, psolve=None):
 
 
 # ----------------------------------------------------------------------------
-# tiny dense helpers — hand-rolled so they compile for ANY dtype on TPU
-# (XLA's LuDecomposition/Cholesky custom calls only cover f32/c64 on TPU;
-# these are O(m^3) fori_loops on m ≲ 64 systems, negligible cost)
-# ----------------------------------------------------------------------------
-def _cholesky_small(A):
-    """Lower-triangular Cholesky factor of a small HPD matrix."""
-    m = A.shape[0]
-    idx = jnp.arange(m)
-
-    def col(j, L):
-        rowj = jnp.where(idx < j, L[j, :], 0)
-        d = jnp.sqrt(jnp.maximum(jnp.real(A[j, j] - jnp.vdot(rowj, rowj)),
-                                 jnp.finfo(jnp.zeros((), A.dtype).real.dtype).tiny))
-        c = (A[:, j] - (L * (idx < j)[None, :]) @ rowj.conj()) / d
-        L = L.at[:, j].set(jnp.where(idx > j, c, 0))
-        L = L.at[j, j].set(d)
-        return L
-
-    return jax.lax.fori_loop(0, m, col, jnp.zeros_like(A))
-
-
-def _solve_tri_lower_small(L, b):
-    m = L.shape[0]
-    idx = jnp.arange(m)
-
-    def body(i, y):
-        s = b[i] - jnp.dot(jnp.where(idx < i, L[i, :], 0), y)
-        return y.at[i].set(s / L[i, i])
-
-    return jax.lax.fori_loop(0, m, body, jnp.zeros_like(b))
-
-
-def _solve_tri_upper_small(U, b):
-    m = U.shape[0]
-    idx = jnp.arange(m)
-
-    def body(k, x):
-        i = m - 1 - k
-        s = b[i] - jnp.dot(jnp.where(idx > i, U[i, :], 0), x)
-        return x.at[i].set(s / U[i, i])
-
-    return jax.lax.fori_loop(0, m, body, jnp.zeros_like(b))
-
-
-def _solve_spd_small(A, b):
-    """Solve the small HPD system A x = b via manual Cholesky."""
-    L = _cholesky_small(A)
-    y = _solve_tri_lower_small(L, b)
-    return _solve_tri_upper_small(L.conj().T, y)
-
-
-# ----------------------------------------------------------------------------
 # Restarted GMRES — general (non-Hermitian / complex-shifted) systems
 # ----------------------------------------------------------------------------
 def _gmres_fixed(matvec, b, x0, rtol, atol, restart, maxiter, psolve=None):
@@ -235,15 +186,20 @@ def _gmres_fixed(matvec, b, x0, rtol, atol, restart, maxiter, psolve=None):
     def cycle(x):
         """One restart cycle: build a `restart`-step Arnoldi basis with CGS2
         reorthogonalization (two (m, n) matmuls per step — MXU work, not m
-        sequential dots), then solve the small projected least-squares."""
+        sequential dots), with the Hessenberg QR maintained incrementally by
+        Givens rotations (numerically honest at f32; the earlier ridge-
+        regularized normal equations squared the projected conditioning)."""
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
         V = jnp.zeros((restart + 1, n), dtype)
         V = V.at[0].set(r / jnp.where(beta > tiny, beta, 1.0))
-        H = jnp.zeros((restart + 1, restart), dtype)
+        R = jnp.zeros((restart + 1, restart), dtype)   # upper-triangular factor
+        givens = jnp.zeros((restart, 2), dtype)        # (c_j, s_j) per column
+        g = jnp.zeros((restart + 1,), dtype).at[0].set(
+            beta.astype(dtype))                        # rotated rhs beta*e1
 
         def arnoldi(j, carry):
-            V, H = carry
+            V, R, givens, g = carry
             w = matvec(psolve(V[j]))
             mask = (jnp.arange(restart + 1) <= j).astype(dtype)
             h1 = (V.conj() @ w) * mask
@@ -255,19 +211,41 @@ def _gmres_fixed(matvec, b, x0, rtol, atol, restart, maxiter, psolve=None):
             ok = hnext > tiny
             V = V.at[j + 1].set(jnp.where(ok, 1.0, 0.0) * w /
                                 jnp.where(ok, hnext, 1.0))
-            h = h.at[j + 1].set(hnext)
-            H = H.at[:, j].set(h)
-            return V, H
+            h = h.at[j + 1].set(hnext.astype(dtype))
 
-        V, H = jax.lax.fori_loop(0, restart, arnoldi, (V, H))
-        # Least-squares min ||beta*e1 - H y|| via ridge-regularized normal
-        # equations (small (restart, restart) system; robust to happy
-        # breakdown, which zeroes trailing columns).
-        g = jnp.zeros((restart + 1,), dtype).at[0].set(beta)
-        A = H.conj().T @ H
-        ridge = jnp.finfo(rdtype).eps * (jnp.trace(A).real + 1.0)
-        y = _solve_spd_small(A + ridge * jnp.eye(restart, dtype=dtype),
-                             H.conj().T @ g)
+            # apply the previous rotations to the new column
+            def rot(i, h):
+                c, s = givens[i, 0], givens[i, 1]
+                hi, hi1 = h[i], h[i + 1]
+                return h.at[i].set(c.conj() * hi + s.conj() * hi1) \
+                        .at[i + 1].set(-s * hi + c * hi1)
+            h = jax.lax.fori_loop(0, j, rot, h)
+            # new rotation zeroing h[j+1]
+            denom = jnp.sqrt(jnp.abs(h[j]) ** 2 + jnp.abs(h[j + 1]) ** 2)
+            safe = denom > tiny
+            cj = jnp.where(safe, h[j] / jnp.where(safe, denom, 1.0), 1.0)
+            sj = jnp.where(safe, h[j + 1] / jnp.where(safe, denom, 1.0), 0.0)
+            givens = givens.at[j, 0].set(cj).at[j, 1].set(sj)
+            h = h.at[j].set(denom.astype(dtype)).at[j + 1].set(0.0)
+            gj = g[j]
+            g = g.at[j].set(cj.conj() * gj).at[j + 1].set(-sj * gj)
+            R = R.at[:, j].set(h)
+            return V, R, givens, g
+
+        V, R, givens, g = jax.lax.fori_loop(0, restart, arnoldi,
+                                            (V, R, givens, g))
+        # back substitution on the triangular R (zero diagonals from happy
+        # breakdown contribute y_j = 0)
+        idx = jnp.arange(restart)
+
+        def back(k, y):
+            i = restart - 1 - k
+            s = g[i] - jnp.dot(jnp.where(idx > i, R[i, :restart], 0), y)
+            dii = R[i, i]
+            ok = jnp.abs(dii) > tiny
+            return y.at[i].set(jnp.where(ok, s / jnp.where(ok, dii, 1.0), 0.0))
+
+        y = jax.lax.fori_loop(0, restart, back, jnp.zeros((restart,), dtype))
         x = x + psolve(V[:restart].T @ y)
         rnorm = jnp.linalg.norm(b - matvec(x))
         return x, rnorm
@@ -487,10 +465,12 @@ def _splitc_batch_jit(op, bs, sig_re, sig_im, x0s, rtol, atol, gf_sign,
         else:
             raise ValueError(
                 f"unknown preconditioner {precond!r}; available: jacobi")
-        # rhs = J [b; 0] = [b; 0]; solution u = [Re x, Im x]
+        # rhs = J [b; 0] = [b; 0]; solution u = [Re x, Im x].  The inner
+        # system is always the +1-signed (sigma*I - H); a caller warm start
+        # guesses the gf_sign-signed solution, so flip it to match.
         rhs = jnp.concatenate([b, jnp.zeros_like(b)])
         res = _minres_fixed(_jsym_block_matvec(op, a, bi, n), rhs,
-                            jnp.concatenate([x0, jnp.zeros_like(x0)]),
+                            jnp.concatenate([gf_sign * x0, jnp.zeros_like(x0)]),
                             rtol, atol, maxiter, psolve=psolve)
         x = gf_sign * res.x
         return SolveResult(x.reshape(2, n), res.resnorm, res.iterations,

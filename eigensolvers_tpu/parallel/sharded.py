@@ -27,7 +27,8 @@ from ..vectors.dense import JaxVector
 from ..ops.operators import (AbstractOperator, DenseOperator,
                              GroupedSoPOperator, SumOfProductOperator,
                              as_operator)
-from .mesh import make_mesh, operator_row_sharding, vector_sharding
+from .mesh import (batched_vector_sharding, make_mesh, operator_row_sharding,
+                   vector_sharding)
 
 
 class ShardedVector(JaxVector):
@@ -99,6 +100,27 @@ class ShardedVector(JaxVector):
 
     def to_state_dict(self) -> dict:
         return {"kind": np.asarray("sharded"), "array": np.asarray(self.array)}
+
+    @classmethod
+    def _place_batch(cls, B, ref: "ShardedVector"):
+        """Distribute a stacked (nlanes, n) solve batch P("b", "x"): lanes
+        split over the mesh's "b" axis (FEAST quadrature×subspace lanes,
+        block-Lanczos blocks — the reference's "prime batching target",
+        feast.py:189-200, taken to actual multi-chip execution), state
+        dimension over "x".  GSPMD partitions the vmapped solver accordingly;
+        lanes never communicate, so the "b" axis is pure speedup."""
+        mesh = getattr(ref, "mesh", None)
+        if mesh is None or "b" not in mesh.shape:
+            return B
+        return jax.device_put(B, batched_vector_sharding(mesh, B.ndim - 1))
+
+    @classmethod
+    def _batch_lane_pad(cls, nlanes: int, ref: "ShardedVector") -> int:
+        """Lanes must divide the "b" extent for the P("b", "x") placement."""
+        mesh = getattr(ref, "mesh", None)
+        if mesh is None or "b" not in mesh.shape:
+            return 0
+        return (-nlanes) % mesh.shape["b"]
 
     @classmethod
     def _stack(cls, vectors: List["ShardedVector"], pad_to: Optional[int] = None):

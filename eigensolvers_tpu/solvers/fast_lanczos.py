@@ -83,6 +83,9 @@ def _row_proxies(V, nvec):
     (which only use ``vdot`` — both reference pick families do,
     reference: util_funcs.py:305-344): the overlap column against each
     distinct reference vector is computed once on device and cached."""
+    # cache value holds a reference to the keyed object so its id cannot be
+    # reused by a new object while the entry is alive (CPython id-reuse
+    # aliasing)
     cache = {}
 
     class _Row:
@@ -95,9 +98,9 @@ def _row_proxies(V, nvec):
             key = (id(other), conjugate)
             if key not in cache:
                 arr = jnp.asarray(np.asarray(other.array).ravel())
-                cache[key] = np.asarray(
-                    _ovlp_col_kernel(V, arr, conj=conjugate))
-            val = cache[key][self.i]
+                cache[key] = (other, np.asarray(
+                    _ovlp_col_kernel(V, arr, conj=conjugate)))
+            val = cache[key][1][self.i]
             return complex(val) if np.iscomplexobj(val) else float(val)
 
     return [_Row(i) for i in range(nvec)]
@@ -137,10 +140,16 @@ def fastLanczosDiagonalization(
     if isinstance(v0, (list, tuple)):
         options = getattr(v0[0], "options", {}) or {}
         guesses = np.stack([np.asarray(v.array).ravel() for v in v0])
+        # round-trip the backend type: sharded callers get ShardedVector
+        # results (sharding/options semantics preserved)
+        vec_cls = type(v0[0])
+        vec_mesh = getattr(v0[0], "mesh", None)
     else:
         options = {}
         arr = np.asarray(v0)
         guesses = arr[None, :] if arr.ndim == 1 else arr
+        vec_cls = JaxVector
+        vec_mesh = None
     nBlock, n = guesses.shape
     opts = options.get("linearSystemArgs", {})
     rtol = rtol if rtol is not None else opts.get("linear_tol", 1e-4)
@@ -222,9 +231,9 @@ def fastLanczosDiagonalization(
                 resnorms = packed[:, 2 * Mtot].real
                 lindep_flags = packed[:, 2 * Mtot + 1].real > 0.5
 
-            if np.any(resnorms > max(rtol * 1.5, 1e-12) * 10):
-                # solves are normalized seeds; resnorm is absolute vs ||b||=1
-                pass  # tolerated: inexact semantics; tracked via status
+            # solves are on normalized seeds; resnorm is absolute vs ||b||=1
+            status["solveResidualMax"] = max(
+                float(np.max(resnorms)), status.get("solveResidualMax", 0.0))
             if np.any(lindep_flags):
                 status["lindep"] = True
                 spec = None
@@ -300,7 +309,10 @@ def fastLanczosDiagonalization(
         else:
             coeffs[:nvec, :nvec] = np.eye(nvec, dtype=dtype)
         R = np.asarray(_restart_kernel(V, jnp.asarray(coeffs)))
-    vectors = [JaxVector(R[i], options) for i in range(k)]
+    if vec_mesh is not None:
+        vectors = [vec_cls(R[i], options, mesh=vec_mesh) for i in range(k)]
+    else:
+        vectors = [vec_cls(R[i], options) for i in range(k)]
     status["timers"] = timer.summary()
     status["runTime"] = time.time() - status["startTime"]
     return ev, vectors, status

@@ -99,11 +99,15 @@ def _contour(eMin, eMax, nc, quad, contourEllipseFactor):
 
 
 def _use_split_complex(A, Y):
-    """Split-complex (all-real 2x2 block) solves are the TPU-native path for
-    the complex contour shifts: used when both the operator and the subspace
-    are real, the backend implements it, and either the platform lacks
-    complex support (TPU) or the user forces it via
-    linearSystemArgs["splitComplex"]."""
+    """Split-complex (all-real 2x2 block) solves handle the complex contour
+    shifts whenever both the operator and the subspace are real and the
+    backend implements them — on every platform.  The J-symmetrized real-block
+    MINRES is the better algorithm for a complex shift on a real symmetric
+    operator (conditioning ~|sigma-lam|, short recurrence, no restart
+    stagnation), not just a workaround for complex-free TPUs; restarted GMRES
+    on the complex system stagnates at contour nodes near the real axis.
+    Override via linearSystemArgs["splitComplex"]; exact (direct) solves
+    bypass it."""
     typeClass = type(Y[0])
     if not hasattr(typeClass, "solveBatchSplit"):
         return False
@@ -113,11 +117,13 @@ def _use_split_complex(A, Y):
     a_dtype = getattr(A, "dtype", None)
     if a_dtype is None or np.iscomplexobj(np.zeros((), dtype=np.dtype(a_dtype))):
         return False
-    forced = Y[0].options.get("linearSystemArgs", {}).get("splitComplex")
+    opts = Y[0].options.get("linearSystemArgs", {})
+    if opts.get("linearSolver") in ("exact", "pardiso"):
+        return False  # oracle path: exact complex direct solves
+    forced = opts.get("splitComplex")
     if forced is not None:
         return bool(forced)
-    import jax
-    return jax.default_backend() not in ("cpu",)
+    return True
 
 
 def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,

@@ -263,6 +263,21 @@ class JaxVector(AbstractVector):
         return cls(state["array"], options)
 
     # -- stacked-basis helpers ----------------------------------------------
+    @classmethod
+    def _place_batch(cls, B, ref: "JaxVector"):
+        """Placement hook for a stacked (nlanes, n) solve batch.  The dense
+        backend leaves it where it is; the sharded backend distributes lanes
+        over the mesh's "b" axis (solve-batch parallelism, SURVEY.md §2.4
+        item 2)."""
+        return B
+
+    @classmethod
+    def _batch_lane_pad(cls, nlanes: int, ref: "JaxVector") -> int:
+        """Zero lanes to append so the batch divides the mesh's "b" extent
+        (0 for the dense backend).  Padding lanes have b = 0, so their solves
+        terminate immediately and contribute nothing."""
+        return 0
+
     @staticmethod
     def _stack(vectors: List["JaxVector"], pad_to: Optional[int] = None):
         m = len(vectors)
@@ -362,18 +377,40 @@ class JaxVector(AbstractVector):
         TPU-native path for FEAST contour shifts).  Returns vectors whose
         array is (2, n) = (Re x, Im x)."""
         opts = bs[0].options["linearSystemArgs"]
+        chunk = opts.get("batchChunk")
+        if chunk and len(bs) > chunk:
+            # lane chunking bounds the solver working set (~8 MINRES work
+            # vectors per lane) for large n; chunks run sequentially
+            out = []
+            for i in range(0, len(bs), chunk):
+                out.extend(cls.solveBatchSplit(
+                    H, bs[i:i + chunk], sigmas[i:i + chunk],
+                    x0s=None if x0s is None else x0s[i:i + chunk],
+                    reverseGF=reverseGF))
+            return out
         op = cls._as_operator(H, bs[0])
+        nl = len(bs)
         B = jnp.stack([b.array.ravel() for b in bs])
         assert not jnp.iscomplexobj(B), "split solves need real RHS"
+        X0 = None if x0s is None else jnp.stack([x.array for x in x0s])
+        sig = list(sigmas)
+        pad = cls._batch_lane_pad(nl, bs[0])
+        if pad:
+            B = jnp.concatenate([B, jnp.zeros((pad,) + B.shape[1:], B.dtype)])
+            sig = sig + [sig[0]] * pad
+            if X0 is not None:
+                X0 = jnp.concatenate(
+                    [X0, jnp.zeros((pad,) + X0.shape[1:], X0.dtype)])
+        B = cls._place_batch(B, bs[0])
+        X0 = None if X0 is None else cls._place_batch(X0, bs[0])
         res = ls.gmres_splitc_batch(
-            op, B, sigmas,
-            x0s=None if x0s is None else jnp.stack([x.array for x in x0s]),
+            op, B, sig, x0s=X0,
             rtol=opts["linear_tol"], atol=opts["linear_atol"],
             restart=opts["gmresRestart"], maxiter=opts["linearIter"],
             reverseGF=reverseGF, precond=opts.get("preconditioner"))
         conv_a, resn_a, its_a = jax.device_get(
             (res.converged, res.resnorm, res.iterations))
-        for k, ok in enumerate(conv_a):
+        for k, ok in enumerate(conv_a[:nl]):
             if not bool(ok):
                 msg = (f"Batched split solver lane {k} did not converge: "
                        f"residual {float(resn_a[k]):.3e} after "
@@ -381,7 +418,7 @@ class JaxVector(AbstractVector):
                 if opts.get("errorOnNonConvergence", True):
                     raise RuntimeError(msg)
                 warnings.warn(msg)
-        return list(res.x)
+        return list(res.x)[:nl]
 
     # -- linear solves ------------------------------------------------------
     @staticmethod
@@ -418,11 +455,57 @@ class JaxVector(AbstractVector):
         return solver, opts
 
     @classmethod
+    def _split_single(cls, op, b, sigma, x0, opts, reverseGF):
+        """One complex-shifted solve of a real symmetric operator via the
+        J-symmetrized real-block MINRES (one batch lane), recombined to a
+        complex result.  Same routing rationale as the batched FEAST path:
+        restarted GMRES stagnates on these spectra; the split MINRES has
+        conditioning ~|sigma-lam|."""
+        B = b.array.ravel()[None, :]
+        X0 = None if x0 is None else jnp.real(x0.array).ravel()[None, :]
+        res = ls.gmres_splitc_batch(
+            op, B, [complex(sigma)], x0s=X0,
+            rtol=opts["linear_tol"], atol=opts["linear_atol"],
+            maxiter=opts["linearIter"], reverseGF=reverseGF,
+            precond=opts.get("preconditioner"))
+        conv, resnorm, iters = jax.device_get(
+            (res.converged[0], res.resnorm[0], res.iterations[0]))
+        if not bool(conv):
+            msg = (f"Iterative solver splitc-minres did not converge: "
+                   f"residual {float(resnorm):.3e} after "
+                   f"{int(iters)} iterations")
+            if opts.get("errorOnNonConvergence", True):
+                raise RuntimeError(msg)
+            warnings.warn(msg)
+        x = res.x[0, 0] + 1j * res.x[0, 1]
+        return cls(x.reshape(b.array.shape), b.options)
+
+    @classmethod
+    def _want_split(cls, op, b, sigma, opts):
+        """Split-complex single-solve eligibility: complex shift, real
+        operator and RHS (the framework's operators are Hermitian by the
+        solver contract, so real means symmetric); exact solves bypass;
+        linearSystemArgs["splitComplex"] overrides."""
+        if not np.iscomplexobj(np.asarray(sigma)):
+            return False
+        if np.iscomplexobj(np.zeros((), dtype=b.dtype)) or \
+                np.iscomplexobj(np.zeros((), dtype=np.dtype(op.dtype))):
+            return False
+        if opts.get("linearSolver") in ("exact", "pardiso"):
+            return False
+        forced = opts.get("splitComplex")
+        if forced is not None:
+            return bool(forced)
+        return True
+
+    @classmethod
     def solve(cls, H, b: "JaxVector", sigma, x0=None, opType: str = "her",
               reverseGF: bool = False) -> "JaxVector":
         """(sigma*I - H) x = b, inexactly (reference: numpyVector.py:147-178)."""
         solver, opts = cls._solve_opts(b, sigma, opType)
         op = cls._as_operator(H, b)
+        if cls._want_split(op, b, sigma, opts):
+            return cls._split_single(op, b, sigma, x0, opts, reverseGF)
         dtype = cls._solve_dtype(op, sigma, b.dtype)
         barr = b.array.ravel().astype(dtype)
         x0arr = None if x0 is None else x0.array.ravel().astype(dtype)
@@ -463,14 +546,36 @@ class JaxVector(AbstractVector):
                    opType: str = "her", reverseGF: bool = False):
         """Batched shifted solves — one vmapped device computation for all
         (sigma_k, b_k) pairs (block Lanczos / FEAST batching,
-        SURVEY.md §2.4 item 2)."""
+        SURVEY.md §2.4 item 2).  Under a ("b", "x") mesh the lanes distribute
+        over the "b" axis (see :meth:`_place_batch`);
+        ``linearSystemArgs["batchChunk"]`` bounds the number of simultaneous
+        lanes for memory control."""
         solver, opts = cls._solve_opts(bs[0], np.asarray(sigmas), opType)
+        chunk = opts.get("batchChunk")
+        if chunk and len(bs) > chunk:
+            out = []
+            for i in range(0, len(bs), chunk):
+                out.extend(cls.solveBatch(
+                    H, bs[i:i + chunk], sigmas[i:i + chunk],
+                    x0s=None if x0s is None else x0s[i:i + chunk],
+                    opType=opType, reverseGF=reverseGF))
+            return out
         op = cls._as_operator(H, bs[0])
         sig = np.asarray(sigmas)
         dtype = cls._solve_dtype(op, sig, *[b.dtype for b in bs])
+        nl = len(bs)
         B = jnp.stack([b.array.ravel().astype(dtype) for b in bs])
         X0 = None if x0s is None else \
             jnp.stack([x.array.ravel().astype(dtype) for x in x0s])
+        pad = 0 if solver == "exact" else cls._batch_lane_pad(nl, bs[0])
+        if pad:
+            B = jnp.concatenate([B, jnp.zeros((pad,) + B.shape[1:], B.dtype)])
+            sig = np.concatenate([sig.ravel(), np.repeat(sig.ravel()[:1], pad)])
+            if X0 is not None:
+                X0 = jnp.concatenate(
+                    [X0, jnp.zeros((pad,) + X0.shape[1:], X0.dtype)])
+        B = cls._place_batch(B, bs[0])
+        X0 = None if X0 is None else cls._place_batch(X0, bs[0])
 
         if solver == "exact":
             outs = [ls.solve_exact(op, B[k], sig[k], reverseGF=reverseGF)
@@ -489,14 +594,14 @@ class JaxVector(AbstractVector):
             if solver == "gmres":
                 kwargs["restart"] = opts["gmresRestart"]
             res = fn(op, B, jnp.asarray(sig, dtype), x0s=X0, **kwargs)
-            xs = list(res.x)
+            xs = list(res.x)[:nl]  # drop divisibility-padding lanes
             # fetch the per-lane convergence data in ONE transfer, not 3 per
             # lane (remote platforms pay a full round trip per fetch)
             conv_a, resn_a, its_a = jax.device_get(
                 (res.converged, res.resnorm, res.iterations))
-            conv = [bool(c) for c in conv_a]
-            resn = [float(r) for r in resn_a]
-            its = [int(i) for i in its_a]
+            conv = [bool(c) for c in conv_a[:nl]]
+            resn = [float(r) for r in resn_a[:nl]]
+            its = [int(i) for i in its_a[:nl]]
 
         for k, ok in enumerate(conv):
             if not ok:

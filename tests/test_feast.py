@@ -98,15 +98,24 @@ def test_feast_split_complex_matches_complex_path(problem):
     the TPU-native route for backends without complex support — must
     reproduce the complex-arithmetic path's eigenvalues."""
     p = problem
+
+    def with_opts(**kw):
+        opts = dict(p["Y"][0].options)
+        lsa = dict(opts["linearSystemArgs"])
+        lsa.update(linear_tol=1e-8, **kw)
+        opts["linearSystemArgs"] = lsa
+        return [JaxVector(np.asarray(y.array), opts) for y in p["Y"]]
+
+    # complex-arithmetic leg must be explicit: split-complex is the default
+    # for real-symmetric operators on all platforms now.  Restart > n so the
+    # complex GMRES is effectively full (restarted GMRES stagnates on these
+    # contour-shift spectra — the reason split MINRES is the default).
     evC, _, _ = feastDiagonalization(
-        p["A"], list(p["Y"]), p["nc"], "legendre", p["rmin"], p["rmax"],
-        eConv=1e-10, maxit=20, writeOut=False)
-    opts = dict(p["Y"][0].options)
-    lsa = dict(opts["linearSystemArgs"])
-    lsa["splitComplex"] = True
-    lsa["linear_tol"] = 1e-8
-    opts["linearSystemArgs"] = lsa
-    Ys = [JaxVector(np.asarray(y.array), opts) for y in p["Y"]]
+        p["A"], with_opts(splitComplex=False, gmresRestart=128,
+                          linearIter=4000),
+        p["nc"], "legendre",
+        p["rmin"], p["rmax"], eConv=1e-10, maxit=20, writeOut=False)
+    Ys = with_opts(splitComplex=True)
     evS, _, stS = feastDiagonalization(
         p["A"], Ys, p["nc"], "legendre", p["rmin"], p["rmax"],
         eConv=1e-10, maxit=20, writeOut=False)

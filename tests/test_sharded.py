@@ -82,9 +82,11 @@ def test_sharded_feast(problem, mesh):
     A, ev, guess = problem
     n = A.shape[0]
     m0 = 6
+    # errorOnNonConvergence stays at its default (True): every contour solve
+    # must actually converge — the split-complex MINRES path handles the
+    # near-real-axis nodes that stagnate restarted GMRES.
     options = {"linearSystemArgs": {
-        "linearSolver": "gcrotmk", "linearIter": 1000, "linear_tol": 1e-2,
-        "errorOnNonConvergence": False}}
+        "linearSolver": "gcrotmk", "linearIter": 2000, "linear_tol": 1e-4}}
     Y0 = np.stack([np.ones(n) * (i + 1) for i in range(m0)], axis=1)
     Y1 = la.qr(Y0, mode="economic")[0]
     ShardedVector.set_default_mesh(mesh)
@@ -162,6 +164,91 @@ def test_sharded_sop_lanczos(mesh):
                find_nearest(np.asarray(evD), sigma)[1]) < 1e-8
 
 
+def test_batched_solves_use_b_axis(problem):
+    """Production FEAST on a (b=2, x=4) mesh: the nk×m0 solve-lane stack must
+    actually be distributed over the "b" mesh axis (P("b", "x")), lane counts
+    that don't divide b must pad transparently, and the eigenvalues must
+    match the dense single-device run (VERDICT r1 item 1)."""
+    from jax.sharding import PartitionSpec as P
+    A, ev, guess = problem
+    n = A.shape[0]
+    mesh24 = make_mesh(batch=2, shard=4)
+    m0 = 5  # nk*m0 = 4*5 = 20 lanes; also odd m0 exercises lane padding paths
+    rng = np.random.RandomState(11)
+    G = la.qr(rng.rand(n, m0), mode="economic")[0]
+    options = {"linearSystemArgs": {
+        "linearSolver": "gcrotmk", "linearIter": 2000, "linear_tol": 1e-6}}
+
+    # the placement hook must produce a P("b", "x")-sharded batch
+    ShardedVector.set_default_mesh(mesh24)
+    try:
+        ref = ShardedVector(G[:, 0], options, mesh=mesh24)
+        import jax.numpy as jnp
+        B = ShardedVector._place_batch(jnp.zeros((20, n)), ref)
+        assert B.sharding.spec == P("b", "x"), B.sharding
+        assert ShardedVector._batch_lane_pad(5, ref) == 1
+        assert ShardedVector._batch_lane_pad(20, ref) == 0
+
+        # non-divisible lane count end-to-end: 3 lanes over b=2
+        Ash = shard_operator(A, mesh24)
+        bs = [ShardedVector(G[:, i], options, mesh=mesh24) for i in range(3)]
+        xs = ShardedVector.solveBatch(Ash, bs, [30.0, 31.0, 32.0])
+        assert len(xs) == 3
+        for i, x in enumerate(xs):
+            r = np.asarray(A @ np.asarray(x.array)) - \
+                (30.0 + i) * np.asarray(x.array)
+            assert np.linalg.norm(-r - G[:, i]) < 1e-4 * np.linalg.norm(G[:, i])
+
+        # full FEAST through the b-sharded batch
+        Y = [ShardedVector(G[:, i], options, mesh=mesh24) for i in range(m0)]
+        evF, _, _ = feastDiagonalization(
+            Ash, Y, 8, "legendre", 160.0, 166.0, 1e-8, 20, writeOut=False)
+    finally:
+        ShardedVector.set_default_mesh(None)
+    YD = [JaxVector(G[:, i], options) for i in range(m0)]
+    evD, _, _ = feastDiagonalization(
+        A, YD, 8, "legendre", 160.0, 166.0, 1e-8, 20, writeOut=False)
+    # only the in-window eigenvalues are converged by the FEAST filter;
+    # out-of-window Ritz values are solver noise in both runs
+    for target in select_within_range(ev, 160, 166)[0]:
+        got = find_nearest(np.asarray(evF), target)[1]
+        ref_d = find_nearest(np.asarray(evD), target)[1]
+        assert abs(got - ref_d) <= 1e-7, (got, ref_d)
+        assert abs(got - target) <= 1e-5
+
+
+def test_batch_chunking(problem):
+    """linearSystemArgs["batchChunk"] splits the lane stack into sequential
+    chunks (memory control for large n) without changing results."""
+    A, ev, guess = problem
+    n = A.shape[0]
+    rng = np.random.RandomState(13)
+    G = la.qr(rng.rand(n, 6), mode="economic")[0]
+    base = {"linearSystemArgs": {"linearIter": 2000, "linear_tol": 1e-8}}
+    chunked = {"linearSystemArgs": {"linearIter": 2000, "linear_tol": 1e-8,
+                                    "batchChunk": 2}}
+    sig = [30.0 + i for i in range(6)]
+    xs1 = JaxVector.solveBatch(A, [JaxVector(G[:, i], base)
+                                   for i in range(6)], sig)
+    xs2 = JaxVector.solveBatch(A, [JaxVector(G[:, i], chunked)
+                                   for i in range(6)], sig)
+    for a, b in zip(xs1, xs2):
+        np.testing.assert_allclose(np.asarray(a.array), np.asarray(b.array),
+                                   atol=1e-10)
+
+    # split-complex path with chunking
+    sigc = [complex(30.0, 0.5 + i) for i in range(5)]
+    s1 = JaxVector.solveBatchSplit(A, [JaxVector(G[:, i], base)
+                                       for i in range(5)], sigc)
+    s2 = JaxVector.solveBatchSplit(A, [JaxVector(G[:, i], chunked)
+                                       for i in range(5)], sigc)
+    # batch shape changes XLA tiling → per-lane roundings differ at eps and
+    # the ill-conditioned shifted solves amplify by kappa; agreement is
+    # bounded by the solve tolerance, not bitwise
+    for a, b in zip(s1, s2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_sharded_feast_split_complex(mesh):
     """Forced split-complex FEAST through the sharded backend (the TPU route:
     split path auto-selects on non-CPU platforms) — regression for the (2, n)
@@ -176,7 +263,7 @@ def test_sharded_feast_split_complex(mesh):
     G = la.qr(rng.rand(n, m0), mode="economic")[0]
     options = {"linearSystemArgs": {
         "linearSolver": "gcrotmk", "linearIter": 3000, "linear_tol": 1e-6,
-        "splitComplex": True, "errorOnNonConvergence": False}}
+        "splitComplex": True}}
     ShardedVector.set_default_mesh(mesh)
     try:
         Y = [ShardedVector(G[:, i], options) for i in range(m0)]
