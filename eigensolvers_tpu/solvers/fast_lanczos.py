@@ -44,6 +44,8 @@ from ..utils.subspace import (
     lowdinOrthoMatrix,
 )
 from ..utils.profiling import PhaseTimer
+from ..utils.reporting import LanczosReporter
+from ..utils import checkpointing
 from ..vectors.abstract import AbstractVector
 from ..vectors.dense import JaxVector, _pad_rows
 from .step import block_krylov_step
@@ -127,12 +129,21 @@ def fastLanczosDiagonalization(
         H, v0: Union[AbstractVector, List[AbstractVector], np.ndarray],
         sigma, L, maxit, eConv,
         Hsolve=None, status=None, pick=None,
-        rtol: Optional[float] = None, solve_maxiter: Optional[int] = None):
+        rtol: Optional[float] = None, solve_maxiter: Optional[int] = None,
+        writeOut=False, eShift=0.0, convertUnit="au",
+        outFileName=None, summaryFileName=None,
+        saveEachIteration=False, saveDir="saveKrylov",
+        checkFitTol=1e-7):
     """Fused-path inexact shift-and-invert (block) Lanczos.
 
     Accepts JaxVector(s) (options read from the first guess) or a raw
     (nBlock, n) / (n,) array.  See module docstring for the deltas vs the
-    general driver.
+    general driver.  Reporting (``writeOut`` — default off on this
+    latency-optimized path), per-iteration checkpointing
+    (``saveEachIteration``), complex/general shifts (routed through the
+    fused GMRES kernel) and ``linearSystemArgs["preconditioner"]`` carry the
+    same semantics as
+    :func:`~eigensolvers_tpu.solvers.lanczos.inexactLanczosDiagonalization`.
     """
     # -- normalize inputs ----------------------------------------------------
     if isinstance(v0, AbstractVector):
@@ -165,11 +176,38 @@ def fastLanczosDiagonalization(
         _coerce = as_operator
     op = _coerce(Hsolve if Hsolve is not None else H)
     opH = _coerce(H)
-    dtype = np.result_type(np.dtype(op.dtype), guesses.dtype)
+    # complex shifts upcast the basis buffer and route through the fused
+    # GMRES kernel (same solver-selection rule as JaxVector._solve_opts:
+    # MINRES needs a Hermitian system, so it requires a real shift)
+    sigma_complex = np.iscomplexobj(np.asarray(sigma))
+    dtype = np.result_type(np.dtype(op.dtype), guesses.dtype,
+                           np.asarray(sigma).dtype if sigma_complex
+                           else np.dtype(np.float32))
+    solver = opts.get("linearSolver", "minres")
+    solver = {"gcrotmk": "gmres", "pardiso": "exact"}.get(solver, solver)
+    if solver not in ("minres", "gmres"):
+        raise ValueError(
+            f"fused driver supports linearSolver minres/gmres (alias "
+            f"gcrotmk), got {solver!r}")
+    if sigma_complex:
+        solver = "gmres"
+    elif solver == "gmres":
+        # Hermitian system with a real shift: MINRES is the optimal short
+        # recurrence (same routing as the general driver)
+        solver = "minres"
+    precond = opts.get("preconditioner")
+    restart = opts.get("gmresRestart", 30)
 
-    # orthonormalize guesses (host QR — tiny)
-    q, _ = np.linalg.qr(guesses.T)
-    guesses = np.ascontiguousarray(q.T, dtype=dtype)
+    # orthonormalize guesses via the contract whole-set QR (one device QR;
+    # reference: abstractVector.py:112 / util_funcs.py:170-194)
+    gset = JaxVector.orthogonalize(
+        [JaxVector(np.asarray(g, dtype=dtype), options) for g in guesses])
+    if len(gset) < nBlock:
+        raise RuntimeError(
+            f"only {len(gset)} of {nBlock} guess vectors are linearly "
+            f"independent")
+    guesses = np.ascontiguousarray(
+        np.stack([np.asarray(g.array).ravel() for g in gset]), dtype=dtype)
 
     M_needed = nBlock * L
     M = _pad_rows(M_needed)
@@ -184,6 +222,19 @@ def fastLanczosDiagonalization(
     class _StatusGuess:
         hasExactAddition = True
     status = lanczos_status(status, _StatusGuess(), nBlock)
+
+    # reporter hook (same two-file output as the general driver); the header
+    # reads solver settings from a representative guess vector
+    if pick is None:
+        from ..utils.subspace import get_pick_function_close_to_sigma
+        report_pick = get_pick_function_close_to_sigma(sigma)
+    else:
+        report_pick = pick
+    printObj = LanczosReporter(
+        JaxVector(guesses[0], options), sigma, L, maxit, eConv, checkFitTol,
+        status.get("writeOut", writeOut), eShift, convertUnit, report_pick,
+        status, outFileName, summaryFileName)
+    printObj.fileHeader()
 
     timer = PhaseTimer()
     ev = np.full(nBlock, np.nan)
@@ -214,7 +265,9 @@ def fastLanczosDiagonalization(
                     seeds = jax.lax.dynamic_slice_in_dim(
                         V, nvec - nBlock, nBlock, axis=0)
                     out = block_krylov_step(op, V, jnp.asarray(nvec), seeds,
-                                            sig, rt, maxiter=solve_maxiter)
+                                            sig, rt, maxiter=solve_maxiter,
+                                            solver=solver, precond=precond,
+                                            restart=restart)
                 spec = None
                 packed_dev = _pack_step_outputs(out)
                 V_next = jax.lax.dynamic_update_slice_in_dim(
@@ -222,7 +275,8 @@ def fastLanczosDiagonalization(
                 if innerIter + 1 < L:
                     out2 = block_krylov_step(
                         op, V_next, jnp.asarray(nvec + nBlock),
-                        out.new_vectors, sig, rt, maxiter=solve_maxiter)
+                        out.new_vectors, sig, rt, maxiter=solve_maxiter,
+                        solver=solver, precond=precond, restart=restart)
                     spec = (out2, nvec + nBlock, V_next)
                 packed = np.asarray(packed_dev)  # ONE transfer, overlapped
                 Mtot = out.h_cols.shape[1]
@@ -262,6 +316,9 @@ def fastLanczosDiagonalization(
                 Smat, Hmat = Snew, Hnew
                 nvec = mtot
 
+            printObj.writeFile("iteration", status)
+            printObj.writeFile("overlap", Smat)
+
             with timer.phase("diagonalize"):
                 status, uS = lowdinOrthoMatrix(Smat.astype(np.float64)
                                                if not np.iscomplexobj(Smat)
@@ -276,8 +333,19 @@ def fastLanczosDiagonalization(
                 ev = ev[idx]
                 uSH = uSH[:, idx]
 
-            status = checkConvergence(ev, eConv, status)
+            status = checkConvergence(ev, eConv, status, printObj)
             continueIteration = analyzeStatus(status, maxit, L)
+
+            if saveEachIteration:
+                # backend-neutral checkpoint of the live basis (opt-in; one
+                # device->host transfer of the valid rows)
+                rows = np.asarray(V[:nvec])
+                Ylist_ckpt = [JaxVector(rows[i], options)
+                              for i in range(nvec)]
+                checkpointing.save_checkpoint(
+                    saveDir, status["cumIter"], Ylist_ckpt, status,
+                    eigencoefficients=uSH, eigenvalues=ev)
+
             if not continueIteration:
                 break
         if status.get("lindep") or not continueIteration:
@@ -315,4 +383,7 @@ def fastLanczosDiagonalization(
         vectors = [vec_cls(R[i], options) for i in range(k)]
     status["timers"] = timer.summary()
     status["runTime"] = time.time() - status["startTime"]
+    printObj.writeFile("results", ev)
+    printObj.fileFooter()
+    printObj.close()
     return ev, vectors, status

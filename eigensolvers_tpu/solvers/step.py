@@ -21,7 +21,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.linear_solvers import _minres_fixed, _shifted_matvec
+from ..ops.linear_solvers import (_gmres_fixed, _minres_fixed,
+                                  _resolve_precond, _shifted_matvec)
 
 
 class KrylovStepResult(NamedTuple):
@@ -43,16 +44,24 @@ def _cgs2(w, V, mask):
     return w, nrm2
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter",))
+@functools.partial(jax.jit, static_argnames=("maxiter", "solver", "precond",
+                                              "restart"))
 def block_krylov_step(op, V, nvec, seeds, sigma, rtol, maxiter=200,
-                      lindep=1e-14):
+                      lindep=1e-14, solver="minres", precond=None,
+                      restart=30):
     """One block-Lanczos Krylov step, fused.
 
     :param op: operator pytree (Hermitian)
     :param V: (M, n) stacked basis buffer, rows >= nvec zero
     :param nvec: number of valid rows in V (traced scalar)
     :param seeds: (nBlock, n) right-hand sides (the latest block vectors)
-    :param sigma: shift
+    :param sigma: shift (complex shifts require ``solver="gmres"`` and a
+        complex-dtype basis buffer)
+    :param solver: inner shifted solver — "minres" (Hermitian system, the
+        default) or "gmres" (general/complex shifts)
+    :param precond: None or "jacobi" (same option surface as the general
+        driver's linearSystemArgs["preconditioner"])
+    :param restart: GMRES restart length (ignored by minres)
     :returns: :class:`KrylovStepResult`; new vectors are zero rows where
         linear dependence was detected.
     """
@@ -60,9 +69,17 @@ def block_krylov_step(op, V, nvec, seeds, sigma, rtol, maxiter=200,
     nBlock = seeds.shape[0]
 
     matvec = _shifted_matvec(op, sigma, 1.0)
+    psolve = _resolve_precond(precond, solver, op, sigma, 1.0, seeds.dtype)
 
     def solve_one(b):
-        res = _minres_fixed(matvec, b, jnp.zeros_like(b), rtol, 0.0, maxiter)
+        if solver == "minres":
+            res = _minres_fixed(matvec, b, jnp.zeros_like(b), rtol, 0.0,
+                                maxiter, psolve=psolve)
+        elif solver == "gmres":
+            res = _gmres_fixed(matvec, b, jnp.zeros_like(b), rtol, 0.0,
+                               restart, maxiter, psolve=psolve)
+        else:
+            raise ValueError(f"unknown solver {solver!r}")
         nrm = jnp.linalg.norm(res.x)
         x = res.x / jnp.where(nrm > 0, nrm, 1.0)
         return x, res.resnorm

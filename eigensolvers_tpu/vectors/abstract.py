@@ -131,6 +131,10 @@ class AbstractVector(ABC):
 
     @staticmethod
     def orthogonalize(xs, lindep=LINDEP_DEFAULT_VALUE):
+        """Orthonormalize the whole set; directions whose residual against
+        the preceding kept vectors has squared norm <= ``lindep`` are
+        dropped (reference: abstractVector.py:112, ttnsVector.py:151,
+        util_funcs.py:170-194 `_qr`).  Returns the kept orthonormal list."""
         raise NotImplementedError
 
     @staticmethod

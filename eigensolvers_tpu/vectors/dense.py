@@ -298,6 +298,31 @@ class JaxVector(AbstractVector):
         return cls(out.reshape(vectors[0].array.shape), vectors[0].options)
 
     @classmethod
+    def orthogonalize(cls, xs: List["JaxVector"],
+                      lindep=LINDEP_DEFAULT_VALUE) -> List["JaxVector"]:
+        """Orthonormalize the whole set (contract method,
+        reference: abstractVector.py:112, util_funcs.py:170-194 `_qr`):
+        one device QR of the stacked (n, m) tall matrix; columns whose
+        residual against the preceding ones has squared norm <= ``lindep``
+        are dropped (rank-revealed by |diag R|, then re-factored so the
+        returned set is exactly orthonormal)."""
+        keep = list(range(len(xs)))
+        shape = xs[0].array.shape
+        for _ in range(len(xs)):  # ≥1 drop per pass → terminates
+            V = cls._stack([xs[i] for i in keep])
+            Q, R = jnp.linalg.qr(V.T, mode="reduced")
+            d = np.abs(np.asarray(jnp.diagonal(R)))
+            ok = d * d > lindep
+            if ok.all():
+                Qh = Q.T
+                return [cls(Qh[j].reshape(shape), xs[keep[j]].options)
+                        for j in range(len(keep))]
+            keep = [keep[j] for j in range(len(keep)) if ok[j]]
+            if not keep:
+                return []
+        return []  # pragma: no cover
+
+    @classmethod
     def orthogonalize_against_set(cls, x: "JaxVector", qs: List["JaxVector"],
                                   lindep=LINDEP_DEFAULT_VALUE):
         Q = cls._stack(qs, pad_to=_pad_rows(len(qs)))

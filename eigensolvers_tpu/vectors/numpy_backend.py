@@ -119,6 +119,25 @@ class NumpyVector(AbstractVector):
         return cls(out.reshape(vectors[0].array.shape), vectors[0].options)
 
     @classmethod
+    def orthogonalize(cls, xs, lindep=LINDEP_DEFAULT_VALUE):
+        """Whole-set orthonormalization via host QR, dropping dependent
+        directions (reference: util_funcs.py:170-194 `_qr`)."""
+        keep = list(range(len(xs)))
+        shape = xs[0].array.shape
+        for _ in range(len(xs)):
+            V = cls._stack([xs[i] for i in keep])
+            Q, R = np.linalg.qr(V.T)
+            d = np.abs(np.diagonal(R))
+            ok = d * d > lindep
+            if ok.all():
+                return [cls(Q.T[j].reshape(shape), xs[keep[j]].options)
+                        for j in range(len(keep))]
+            keep = [keep[j] for j in range(len(keep)) if ok[j]]
+            if not keep:
+                return []
+        return []  # pragma: no cover
+
+    @classmethod
     def orthogonalize_against_set(cls, x, qs, lindep=LINDEP_DEFAULT_VALUE):
         """Sequential MGS with non-conjugated dots (matching the dense JAX
         backend / reference quirk)."""

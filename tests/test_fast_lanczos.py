@@ -76,6 +76,82 @@ def test_fast_restart_path():
     assert stF["outerIter"] >= 1  # at least one restart happened
 
 
+def test_fast_preconditioned_matches_general():
+    """Jacobi-preconditioned fused path: same convergence contract and
+    eigenvalue as the general driver with the same options (VERDICT r1
+    item 5)."""
+    A, evE, rng = _problem(n=150, seed=6, lam=(1, 300))
+    sigma = 45.0
+    opts = {"linearSystemArgs": {"linearSolver": "minres", "linearIter": 4000,
+                                 "linear_tol": 1e-6,
+                                 "preconditioner": "jacobi",
+                                 "errorOnNonConvergence": False}}
+    guess = rng.rand(150)
+    g = guess / np.linalg.norm(guess)
+    evG, _, stG = inexactLanczosDiagonalization(
+        A, [JaxVector(g, opts)], sigma, 6, 4, 1e-8, writeOut=False)
+    evF, _, stF = fastLanczosDiagonalization(
+        A, [JaxVector(g, opts)], sigma, 6, 4, 1e-8)
+    assert stF["isConverged"] and stG["isConverged"]
+    assert abs(find_nearest(np.asarray(evF), sigma)[1] -
+               find_nearest(np.asarray(evG), sigma)[1]) < 1e-7
+    assert abs(find_nearest(np.asarray(evF), sigma)[1] -
+               find_nearest(evE, sigma)[1]) < 1e-4
+
+
+def test_fast_complex_shift_matches_general():
+    """Complex shift through the fused GMRES kernel: the Krylov space of
+    (sigma - H)^{-1} with Im(sigma) != 0 is complex, but the Hermitian Ritz
+    values must match the general driver and converge to the same
+    eigenvalue near Re(sigma)."""
+    A, evE, rng = _problem(n=100, seed=3)
+    sigma = 30.0 + 0.75j
+    opts = {"linearSystemArgs": {"linearSolver": "gmres", "linearIter": 4000,
+                                 "gmresRestart": 60, "linear_tol": 1e-7,
+                                 "splitComplex": False,
+                                 "errorOnNonConvergence": False}}
+    guess = rng.rand(100)
+    g = guess / np.linalg.norm(guess)
+    evG, _, stG = inexactLanczosDiagonalization(
+        A, [JaxVector(g, opts)], sigma, 6, 4, 1e-8, writeOut=False)
+    evF, _, stF = fastLanczosDiagonalization(
+        A, [JaxVector(g, opts)], sigma, 6, 4, 1e-8)
+    want = find_nearest(evE, sigma.real)[1]
+    gotF = find_nearest(np.real(np.asarray(evF)), sigma.real)[1]
+    gotG = find_nearest(np.real(np.asarray(evG)), sigma.real)[1]
+    assert abs(gotF - want) < 1e-4, (gotF, want)
+    assert abs(gotF - gotG) < 1e-6
+    assert stF["isConverged"]
+
+
+def test_fast_reporting_and_checkpoint(tmp_path):
+    """Reporter and checkpoint hooks on the fused driver: two-file output
+    with sentinels, and resumable per-iteration checkpoints."""
+    import os
+    from eigensolvers_tpu.utils import checkpointing
+    A, evE, rng = _problem()
+    guess = rng.rand(100)
+    g = guess / np.linalg.norm(guess)
+    out = str(tmp_path / "iterations_fast.out")
+    summ = str(tmp_path / "summary_fast.out")
+    ckdir = str(tmp_path / "ck")
+    evF, YF, stF = fastLanczosDiagonalization(
+        A, [JaxVector(g, OPTS)], 30.0, 6, 4, 1e-8,
+        writeOut=True, outFileName=out, summaryFileName=summ,
+        saveEachIteration=True, saveDir=ckdir)
+    assert os.path.exists(out) and os.path.exists(summ)
+    stxt = open(summ).read()
+    assert "startingPoint" in stxt and "endingPoint" in stxt
+    itxt = open(out).read()
+    assert "OVERLAP MATRIX" in itxt and "FINAL RESULTS" in itxt
+    tag = checkpointing.latest_tag(ckdir)
+    assert tag is not None
+    vecs, meta = checkpointing.load_checkpoint(ckdir, tag, JaxVector)
+    assert len(vecs) >= 2  # the basis had grown past the guess
+    assert "eigenvalues" in meta
+    assert meta["status"]["cumIter"] == tag
+
+
 def test_fast_state_following_maxovlp():
     """maxOvlp pick on the fused path: track a TARGETED eigenvector past a
     nearer-to-sigma root (reference: unittests/test_stateFollowingHO.py

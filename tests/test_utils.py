@@ -107,3 +107,44 @@ def test_report_files_and_sentinels(tmp_path):
     assert "OVERLAP MATRIX" in detail
     assert "overlap condition number" in detail
     assert "FINAL RESULTS" in detail
+
+
+def test_orthogonalize_set_contract():
+    """Whole-set orthogonalize (reference: abstractVector.py:112,
+    util_funcs.py:170-194): orthonormal output, dependent directions
+    dropped, span preserved — on the dense JAX and numpy backends."""
+    from eigensolvers_tpu import JaxVector
+    from eigensolvers_tpu.vectors.numpy_backend import NumpyVector
+    rng = np.random.RandomState(42)
+    n, m = 60, 4
+    G = rng.rand(n, m)
+    for cls in (JaxVector, NumpyVector):
+        xs = [cls(G[:, i]) for i in range(m)]
+        out = cls.orthogonalize(xs)
+        assert len(out) == m
+        V = np.stack([np.asarray(v.array).ravel() for v in out])
+        np.testing.assert_allclose(V.conj() @ V.T, np.eye(m), atol=1e-12)
+        # span preserved: projector onto out equals projector onto G
+        Q, _ = np.linalg.qr(G)
+        np.testing.assert_allclose(V @ Q @ Q.T @ V.T if False else
+                                   np.linalg.norm(V - V @ Q @ Q.T), 0.0,
+                                   atol=1e-10)
+        # a dependent vector gets dropped
+        xs_dep = xs + [cls(G[:, 0] + G[:, 1])]
+        out2 = cls.orthogonalize(xs_dep)
+        assert len(out2) == m
+
+
+def test_orthogonalize_set_mps():
+    from eigensolvers_tpu.vectors.mps import MPSVector
+    rng = np.random.RandomState(0)
+    dims = (4, 4, 4)
+    opts = {"compressArgs": {"maxD": 32, "eps": 0.0}}
+    vs = [MPSVector.from_dense(rng.rand(*dims), dims, opts) for _ in range(3)]
+    out = MPSVector.orthogonalize(vs)
+    assert len(out) == 3
+    S = MPSVector.overlapMatrix(out)
+    np.testing.assert_allclose(S, np.eye(3), atol=1e-10)
+    # exact duplicate dropped
+    out2 = MPSVector.orthogonalize(vs + [vs[0].copy()])
+    assert len(out2) == 3
