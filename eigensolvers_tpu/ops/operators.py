@@ -34,6 +34,12 @@ class AbstractOperator:
     def matvec(self, x):
         raise NotImplementedError
 
+    def matmat(self, X):
+        """Apply to m stacked RHS: X (n, m) -> (n, m).  Default is a vmap of
+        the matvec; operators with a cheaper fused multi-RHS path (e.g.
+        :class:`~eigensolvers_tpu.ops.sparse.BSROperator`) override it."""
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(X)
+
     def to_dense(self):
         """Materialize as a dense (n, n) jnp array (oracle/small paths only)."""
         raise NotImplementedError

@@ -83,6 +83,42 @@ def test_pallas_kernel_interpret_mode():
     np.testing.assert_allclose(y_pl, y_ref, atol=1e-10)
 
 
+def test_matmat_multi_rhs():
+    """Fused multi-RHS apply (block data fetched once, reused over all
+    columns) matches column-wise matvecs, including non-divisible n."""
+    H = _banded(200, bw=5, seed=7)
+    op = BSROperator.from_dense(H, block_size=64, use_pallas=False)
+    rng = np.random.RandomState(8)
+    X = rng.rand(200, 5)
+    Y = np.asarray(op.matmat(X))
+    np.testing.assert_allclose(Y, H @ X, atol=1e-11)
+    # generic AbstractOperator.matmat default (vmap of matvec) agrees
+    from eigensolvers_tpu.ops.operators import DenseOperator
+    np.testing.assert_allclose(np.asarray(DenseOperator(H).matmat(X)),
+                               H @ X, atol=1e-11)
+
+
+def test_custom_vmap_reroutes_batched_matvec():
+    """vmap over the dispatch wrapper must hit the einsum matmat rule (not a
+    batched Pallas launch) and agree with per-lane matvecs.  This is the
+    path batched shifted solves (FEAST lanes / block Lanczos) take when the
+    Pallas default is active on TPU."""
+    import jax
+    import jax.numpy as jnp
+    from eigensolvers_tpu.ops.sparse import (_bsr_matvec_best,
+                                             _bsr_matvec_xla)
+    rng = np.random.RandomState(3)
+    nrb, nbpr, B, m = 4, 2, 128, 6
+    data = jnp.asarray(rng.standard_normal((nrb, nbpr, B, B)))
+    idx = jnp.asarray(rng.randint(0, nrb, (nrb, nbpr)).astype(np.int32))
+    V = jnp.asarray(rng.standard_normal((m, nrb * B)))
+    # the batching rule routes to _bsr_matmat_xla, so this runs on any
+    # platform (the unbatched pallas branch is never traced here)
+    got = np.asarray(jax.vmap(lambda v: _bsr_matvec_best(data, idx, v))(V))
+    want = np.stack([np.asarray(_bsr_matvec_xla(data, idx, v)) for v in V])
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
 def test_as_operator_accepts_scipy_sparse():
     """scipy.sparse input routes through the block-sparse operator — parity
     with the reference accepting any matmul-able H."""
