@@ -30,7 +30,8 @@ CH3CN_OP = os.path.join(DATA_DIR, "ch3cn.op")
 
 
 def pyrazine4_operator(N: int = 6, nel: int = 2, dtype=np.float64,
-                       term_chunk: Optional[int] = None):
+                       term_chunk: Optional[int] = None,
+                       fuse: Optional[int] = None):
     """Pyrazine 4-mode vibronic SoP operator.
 
     :param N: HO-DVR points per vibrational mode (N=4..6 gives a
@@ -44,12 +45,14 @@ def pyrazine4_operator(N: int = 6, nel: int = 2, dtype=np.float64,
     bases = [Electronic({"N": nel})] + \
         [Hermite(Hermite.getOptions(N=N, representation="fbr"))
          for _ in range(4)]
-    op = build_sop_operator(spec, bases, dtype=dtype, term_chunk=term_chunk)
+    op = build_sop_operator(spec, bases, dtype=dtype, term_chunk=term_chunk,
+                            fuse=fuse)
     return op, spec, bases
 
 
 def ch3cn_operator(N: int = 42, nModesCut: Optional[int] = None,
-                   dtype=np.float64, term_chunk: Optional[int] = None):
+                   dtype=np.float64, term_chunk: Optional[int] = None,
+                   fuse: Optional[int] = None):
     """CH3CN 12-mode Hamiltonian SoP operator.
 
     :param N: HO-DVR points per mode (production: 42; use small N and/or
@@ -68,5 +71,6 @@ def ch3cn_operator(N: int = 42, nModesCut: Optional[int] = None,
     # polynomial PES turnover that collapses wide-grid DVRs
     bases = [Hermite(Hermite.getOptions(N=N, representation="fbr"))
              for _ in range(spec.nModes)]
-    op = build_sop_operator(spec, bases, dtype=dtype, term_chunk=term_chunk)
+    op = build_sop_operator(spec, bases, dtype=dtype, term_chunk=term_chunk,
+                            fuse=fuse)
     return op, spec, bases

@@ -203,14 +203,21 @@ def _factor_matrix(label: str, basis: BasisBase) -> np.ndarray:
 def build_sop_operator(spec: OpSpec, bases: Sequence[BasisBase],
                        dtype=np.float64,
                        term_chunk: Optional[int] = None,
-                       group_by_support: bool = True):
+                       group_by_support: bool = True,
+                       fuse: Optional[int] = None):
     """Materialize the parsed spec as a sum-of-products operator over the
     given per-mode bases (order matching ``spec.mode_labels``).
 
     By default terms are grouped by their active-mode support
     (:class:`GroupedSoPOperator`) so identity factors are never applied —
     a several-fold FLOP saving for the molecular Hamiltonians; pass
-    ``group_by_support=False`` for the plain stacked form."""
+    ``group_by_support=False`` for the plain stacked form.
+
+    ``fuse`` (a target dimension, e.g. 256) coarsens the mode grid by
+    Kronecker-fusing consecutive modes into TPU-tile-sized super-modes
+    before grouping (see :func:`~eigensolvers_tpu.ops.operators.fuse_sop_terms`)
+    — the dense/sharded fast path.  Leave unset for the MPS backend, whose
+    site dimensions must stay physical."""
     assert len(bases) == spec.nModes, \
         f"need {spec.nModes} bases ({spec.mode_labels}), got {len(bases)}"
     dims = [b.N for b in bases]
@@ -219,11 +226,17 @@ def build_sop_operator(spec: OpSpec, bases: Sequence[BasisBase],
         facs = {d: np.asarray(_factor_matrix(lbl, bases[d]), dtype=dtype)
                 for d, lbl in t.factors.items()}
         term_list.append((t.coeff, facs))
+    if fuse:
+        from ..ops.operators import fuse_sop_terms
+        dims, term_list, _ = fuse_sop_terms(dims, term_list, target=fuse)
+        term_list = [(c, {d: np.asarray(m, dtype=dtype)
+                          for d, m in facs.items()})
+                     for c, facs in term_list]
     if group_by_support:
         return GroupedSoPOperator.from_terms(
-            nDim=spec.nModes, dims=dims, terms=term_list, dtype=dtype)
+            nDim=len(dims), dims=dims, terms=term_list, dtype=dtype)
     return SumOfProductOperator.from_terms(
-        nDim=spec.nModes, dims=dims, terms=term_list, dtype=dtype,
+        nDim=len(dims), dims=dims, terms=term_list, dtype=dtype,
         term_chunk=term_chunk)
 
 

@@ -438,6 +438,55 @@ class GroupedSoPOperator(AbstractOperator):
         return obj
 
 
+def fuse_sop_terms(dims: Sequence[int], terms, target: int = 256):
+    """Coarsen a sum-of-products term list by fusing consecutive modes into
+    super-modes of dimension ~``target``.
+
+    TPU arrays tile as (8, 128) f32; a mode dimension like 14 (CH3CN HO-FBR
+    cut) uses 14/128 of each lane tile, so per-mode contractions of a
+    (..., 14)-shaped state waste ~9x of both bandwidth and MXU rows.  Fusing
+    mode pairs (14x14 -> 196) puts every contraction at >=128-lane shapes:
+    each term's factor on a super-mode is the Kronecker product of its
+    per-mode factors (identity for inactive modes *within an active
+    super-mode*; super-modes with no active mode stay absent, so the
+    grouped-apply FLOP saving survives).  More FLOPs per contraction
+    (2*n*196 vs 2*n*14), but the apply is bandwidth-bound two orders of
+    magnitude below the MXU roofline, so trading FLOPs for tile-aligned
+    layouts wins (measured ~6x on the CH3CN 6-mode cut; see bench.py).
+
+    :param dims: per-mode dimensions
+    :param terms: list of (coeff, {mode_index: matrix})
+    :param target: aim for fused dimensions <= max(target, largest single
+        mode); 128..512 are sensible on TPU
+    :returns: (fused_dims, fused_terms, partition) — partition is the list
+        of original-mode index groups, for callers that need to map back
+    """
+    parts: List[List[int]] = []
+    cur: List[int] = []
+    prod = 1
+    for d, nd in enumerate(dims):
+        if cur and prod * int(nd) > target:
+            parts.append(cur)
+            cur, prod = [d], int(nd)
+        else:
+            cur.append(d)
+            prod *= int(nd)
+    if cur:
+        parts.append(cur)
+    fused_dims = [int(np.prod([dims[d] for d in p])) for p in parts]
+    fused_terms = []
+    for coeff, facs in terms:
+        new_facs = {}
+        for pi, p in enumerate(parts):
+            if not any(d in facs for d in p):
+                continue
+            mats = [np.asarray(facs[d]) if d in facs else np.eye(dims[d])
+                    for d in p]
+            new_facs[pi] = reduce(np.kron, mats)
+        fused_terms.append((coeff, new_facs))
+    return fused_dims, fused_terms, parts
+
+
 @jax.tree_util.register_pytree_node_class
 class CallableOperator(AbstractOperator):
     """Wraps a jittable matvec callable (the analogue of scipy

@@ -79,3 +79,36 @@ def test_lanczos_preserves_tensor_shape(sop):
     _, uvL, _ = inexactLanczosDiagonalization(
         sop["op"], Y0, target, L=10, maxit=2, eConv=1e-5, writeOut=False)
     assert uvL[0].array.shape == tuple(sop["dims"])
+
+
+def test_fuse_sop_terms_matches_unfused(sop):
+    """Mode fusion (TPU tile-size coarsening) is exact: fused matvec,
+    diagonal, and dense form all match the physical-mode operator."""
+    from eigensolvers_tpu.ops.operators import (GroupedSoPOperator,
+                                                fuse_sop_terms)
+    dims = sop["dims"]
+    terms = random_sop_terms(nDim=6, dims=dims, nSum=3, seed=1212)
+    fdims, fterms, parts = fuse_sop_terms(dims, terms, target=20)
+    assert [d for p in parts for d in p] == list(range(6))
+    assert int(np.prod(fdims)) == int(np.prod(dims))
+    fop = GroupedSoPOperator.from_terms(len(fdims), fdims, fterms)
+    rng = np.random.RandomState(2)
+    x = rng.rand(int(np.prod(dims)))
+    np.testing.assert_allclose(np.asarray(fop.matvec(x)),
+                               sop["H"] @ x, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fop.diagonal()),
+                               np.diagonal(sop["H"]), atol=1e-12)
+
+
+def test_fuse_via_builder_ch3cn():
+    """fuse= in the .op builder: CH3CN cut fused to tile-sized super-modes
+    agrees with the physical operator (cites reference examples/ttns2_ch3cn.py
+    for the production problem this accelerates)."""
+    from eigensolvers_tpu.models.molecules import ch3cn_operator
+    opA, _, _ = ch3cn_operator(N=5, nModesCut=4)
+    opB, _, _ = ch3cn_operator(N=5, nModesCut=4, fuse=128)
+    assert opB.dims == (125, 5)
+    rng = np.random.RandomState(3)
+    x = rng.rand(5 ** 4)
+    np.testing.assert_allclose(np.asarray(opB.matvec(x)),
+                               np.asarray(opA.matvec(x)), atol=1e-12)
