@@ -1,147 +1,468 @@
-"""Benchmark: targeted interior eigensolve, TPU framework vs reference-native
-stack.
+"""Benchmark suite: TPU framework vs the reference-native (NumPy/SciPy CPU)
+stack, across the north-star metrics declared in BASELINE.md.
 
-Workload: the reference's "larger dense demo" family (dense known-spectrum
-matrix, interior target — examples/driver_numpyVector.py:15-24 scaled up),
-run to eigenvalue convergence with identical algorithm, tolerances, and
-stopping criteria through two backends of the same solver core:
+The reference publishes no performance numbers (BASELINE.md), so this suite
+*establishes* the framework's numbers with the reference's correctness
+tolerances as the gate — every metric asserts the computed answer against an
+exact oracle before it is recorded.
 
-  * ours:     JaxVector on the TPU chip (float32 compute, f64 subspace math;
-    jitted MINRES with the honest ||r|| <= rtol*||b|| stopping rule)
-  * baseline: NumpyVector on CPU (numpy + compiled SciPy gcrotmk — the
-    reference's native stack and its demo solver choice; float64)
+Metrics (one JSON line each; the headline interior-Lanczos wall is printed
+LAST so drivers that parse a single trailing line keep a round-over-round
+comparable series):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is our wall-clock seconds (lower is better) and vs_baseline is the speedup
-(baseline_seconds / ours_seconds; > 1 means faster than the reference stack).
-The CPU baseline is cached in .bench_baseline.json keyed by problem config +
-host, so steady-state rounds only pay for the TPU run.
+  * bsr_spmv_gflops       — block-ELL SpMV, single RHS, Pallas kernel
+                            (f32, n=16384, B=128, 8 blocks/row); extras
+                            carry GB/s and Gnnz/s + the roofline position.
+                            Baseline: SciPy CSR matvec (the stack under the
+                            reference's H@x, numpyVector.py:152).
+  * bsr_spmm_m16_gflops   — same matrix, 16 stacked RHS through the fused
+                            matmat (block data fetched once per batch).
+                            Baseline: SciPy CSR @ X.
+  * sop_ch3cn_gflops      — CH3CN 6-mode N=14 cut (dim 7.5M), tile-fused
+                            grouped SoP apply; value is USEFUL GFLOP/s
+                            (physical-mode FLOP count, not the kron-lifted
+                            executed count).  Baseline: the same grouped
+                            apply in NumPy einsum (the reference-native
+                            operatornD-style path).
+  * feast_window_wall_s   — FEAST window solve to convergence (n=2048,
+                            4 eigenvalues in window, nc=8, m0=10) through
+                            the J-symmetrized split-complex batched MINRES
+                            (f32).  Baseline: the reference-native config —
+                            NumpyVector + exact direct solves (the
+                            "pardiso" option, numpyVector.py:164-171), f64.
+  * sharding_overhead_x8  — the SAME 8-lane batched solve, unsharded vs
+                            b-sharded over an (8,1) virtual CPU mesh
+                            (honest framing: this host has 2 cores, so
+                            ideal is ratio ~1.0 — it measures GSPMD
+                            partitioning overhead, not speedup; real
+                            multi-chip scaling needs real chips).
+  * dense2048_interior_lanczos_wall — the round-1 headline: wall to
+                            eigenvalue convergence, fused-step Lanczos f32
+                            vs NumpyVector+gcrotmk f64 (reference demo
+                            config scaled up, examples/driver_numpyVector.py).
 
-The reference publishes no performance numbers (BASELINE.md), so this
-benchmark *establishes* the framework's headline numbers with the
-reference's correctness tolerances as the gate: the run is only counted if
-the computed eigenvalue matches the known spectrum to 1e-3 (f32 compute).
+CPU baselines are measured once and cached in .bench_baselines.json keyed by
+problem config + host.  All device timings are dependency-chained and
+fetched (np.asarray) — on remote-executor platforms un-fetched timings elide
+execution and overstate.
 """
 
 import json
 import os
 import platform
+import subprocess
 import sys
 import time
+import warnings
 
 import numpy as np
 
-# --- configuration ----------------------------------------------------------
-N = 2048
-TARGET_INDEX = 1316         # interior eigenvalue, quarter-gap shift placement
-L = 30
-MAXIT = 10
-ECONV = 1e-6
-OURS_TOL = {"linearSolver": "minres", "linearIter": 8000, "linear_tol": 1e-4,
-            "linear_atol": 1e-4, "errorOnNonConvergence": False}
-# the reference-native stack: compiled SciPy recycled-Krylov solver
-# (scipy.minres is unusable here: its convergence test is relative to
-# ||A||*||x||, ~300x looser than rtol*||b|| at this conditioning)
-BASE_TOL = {"linearSolver": "gcrotmk", "linearIter": 8000, "linear_tol": 1e-4,
-            "linear_atol": 1e-4, "errorOnNonConvergence": False}
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench_baseline.json")
+ROOT = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(ROOT, ".bench_baselines.json")
+RESULTS = os.path.join(ROOT, "bench_results.json")
+
+METRICS = []
 
 
-def build_problem(dtype):
+def emit(metric, value, unit, vs_baseline, **extras):
+    METRICS.append({"metric": metric, "value": round(float(value), 4),
+                    "unit": unit, "vs_baseline": round(float(vs_baseline), 3),
+                    **extras})
+
+
+# -- baseline cache -----------------------------------------------------------
+def _load_cache():
+    if os.path.exists(CACHE):
+        try:
+            return json.load(open(CACHE))
+        except Exception:
+            pass
+    return {}
+
+
+def baseline(name, key, fn):
+    """Measured-once CPU baseline, keyed by config+host."""
+    cache = _load_cache()
+    ent = cache.get(name)
+    full_key = f"{key}-{platform.node()}"
+    if ent and ent.get("key") == full_key:
+        return float(ent["value"])
+    val = float(fn())
+    cache[name] = {"key": full_key, "value": val}
+    json.dump(cache, open(CACHE, "w"), indent=1)
+    return val
+
+
+# -- problem builders ---------------------------------------------------------
+def _bsr_problem():
+    import scipy.sparse as sp
+    n, B, nbpr = 16384, 128, 8
+    nrb = n // B
+    rng = np.random.RandomState(0)
+    data = rng.rand(nrb, nbpr, B, B).astype(np.float32)
+    idx = np.zeros((nrb, nbpr), np.int32)
+    for r in range(nrb):
+        idx[r] = np.sort(rng.choice(nrb, nbpr, replace=False))
+    # scipy CSR equivalent for the baseline + oracle
+    rows = np.repeat(np.arange(nrb) * B, nbpr * B * B) \
+        + np.tile(np.repeat(np.arange(B), B), nrb * nbpr)
+    cols = (np.repeat(idx.reshape(-1), B * B) * B
+            + np.tile(np.arange(B), nrb * nbpr * B))
+    csr = sp.csr_matrix((data.reshape(-1), (rows, cols)), shape=(n, n))
+    return n, B, nbpr, data, idx, csr
+
+
+def _chain_time(chain_fn, x0, iters, inner):
+    """Dependency-chained, fetched wall time per inner step."""
+    import jax
+    r = chain_fn(x0)
+    np.asarray(r)           # compile + first run, not timed
+    t0 = time.perf_counter()
+    r = x0
+    for _ in range(iters):
+        r = chain_fn(r)
+    np.asarray(r)
+    return (time.perf_counter() - t0) / (iters * inner)
+
+
+# -- metric 1+2: block-ELL SpMV / SpMM ---------------------------------------
+def bench_bsr():
+    import jax
+    import jax.numpy as jnp
+    from eigensolvers_tpu.ops.sparse import BSROperator
+
+    n, B, nbpr, data, idx, csr = _bsr_problem()
+    nnz = data.size
+    flops1 = 2 * nnz
+    op = BSROperator(data, idx, n)   # default dispatch (Pallas on TPU)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(n).astype(np.float32))
+    X = jnp.asarray(rng.rand(n, 16).astype(np.float32))
+
+    # correctness gates
+    # f32 sums of 1024 addends in different orders: ~1e-3 relative spread
+    np.testing.assert_allclose(np.asarray(op.matvec(x)),
+                               csr @ np.asarray(x), rtol=2e-3, atol=0.05)
+    np.testing.assert_allclose(np.asarray(op.matmat(X)),
+                               csr @ np.asarray(X), rtol=2e-3, atol=0.05)
+
+    K = 50
+
+    @jax.jit
+    def chain1(v):
+        def body(i, v):
+            v = op.matvec(v)
+            return v / jnp.max(jnp.abs(v))
+        return jax.lax.fori_loop(0, K, body, v)
+
+    @jax.jit
+    def chain16(V):
+        def body(i, V):
+            V = op.matmat(V)
+            return V / jnp.max(jnp.abs(V))
+        return jax.lax.fori_loop(0, K, body, V)
+
+    dt1 = _chain_time(chain1, x, 4, K)
+    dt16 = _chain_time(chain16, X, 4, K)
+
+    def cpu1():
+        v = np.asarray(x, np.float32)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            v = csr @ v
+            v /= np.abs(v).max()
+        return (time.perf_counter() - t0) / 20
+
+    def cpu16():
+        V = np.asarray(X, np.float32)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            V = csr @ V
+            V /= np.abs(V).max()
+        return (time.perf_counter() - t0) / 10
+
+    key = f"{n}-{B}-{nbpr}"
+    b1 = baseline("bsr_spmv", key, cpu1)
+    b16 = baseline("bsr_spmm16", key, cpu16)
+
+    # roofline: v5e HBM ~819 GB/s; single-RHS SpMV is block-data-bound
+    emit("bsr_spmv_gflops", flops1 / dt1 / 1e9, "GFLOP/s",
+         (flops1 / dt1) / (flops1 / b1),
+         gbps=round(nnz * 4 / dt1 / 1e9, 1),
+         gnnz_s=round(nnz / dt1 / 1e9, 2),
+         roofline_frac=round((nnz * 4 / dt1 / 1e9) / 819.0, 2))
+    emit("bsr_spmm_m16_gflops", 16 * flops1 / dt16 / 1e9, "GFLOP/s",
+         (16 * flops1 / dt16) / (16 * flops1 / b16),
+         note="fused matmat: block data fetched once per 16-RHS batch")
+
+
+# -- metric 3: SoP apply ------------------------------------------------------
+def bench_sop():
+    import jax
+    import jax.numpy as jnp
+    from eigensolvers_tpu.models.molecules import ch3cn_operator
+
+    N, CUT = 14, 6
+    op, _, _ = ch3cn_operator(N=N, nModesCut=CUT, dtype=np.float32, fuse=256)
+    opu, _, _ = ch3cn_operator(N=N, nModesCut=CUT, dtype=np.float64)
+    n = op.shape[0]
+    # USEFUL flops: the physical-mode grouped apply
+    uflops = 2 * n
+    for modes, facs in opu.groups:
+        S_g = facs[0].shape[0]
+        for f in facs:
+            uflops += 2 * S_g * f.shape[1] * n
+
+    rng = np.random.RandomState(2)
+    x_np = rng.rand(n).astype(np.float32)
+    x = jnp.asarray(x_np)
+
+    # host-numpy physical-mode apply: correctness oracle AND the CPU baseline
+    groups_np = [(m, [np.asarray(f) for f in facs]) for m, facs in opu.groups]
+    idc_np = float(np.asarray(opu.id_coeff))
+    dims_np = opu.dims
+
+    def np_apply(xt):
+        y = idc_np * xt
+        for modes, facs in groups_np:
+            S_g = facs[0].shape[0]
+            xb = np.broadcast_to(xt, (S_g,) + dims_np)
+            for mode, f in zip(modes, facs):
+                xb = np.moveaxis(xb, mode + 1, -1)
+                xb = np.einsum("sij,s...j->s...i", f, xb)
+                xb = np.moveaxis(xb, -1, mode + 1)
+            y = y + xb.sum(axis=0)
+        return y
+
+    # correctness gate: the CH3CN apply cancels ~1e3-magnitude mode-chain
+    # intermediates down to O(1) outputs, so ANY f32 application has a
+    # ~1e-3 forward-error floor (measured identically on the unfused f32
+    # path).  The gate therefore asserts the tile-FUSION adds no error
+    # beyond the intrinsic f32 floor, against the f64 host oracle.
+    y32 = np.asarray(op.matvec(x))
+    y64 = np_apply(np.asarray(x_np, np.float64).reshape(dims_np)).reshape(-1)
+    y32h = np_apply(np.asarray(x_np, np.float32).reshape(dims_np)
+                    .astype(np.float32)).reshape(-1)
+    err_fused = np.max(np.abs(y32 - y64))
+    err_f32 = np.max(np.abs(y32h.astype(np.float64) - y64))
+    assert err_fused < 3 * err_f32 + 1e-10, \
+        f"fusion degrades accuracy: {err_fused:.2e} vs f32 floor {err_f32:.2e}"
+
+    K = 20
+
+    @jax.jit
+    def chain(v):
+        def body(i, v):
+            v = op.matvec(v)
+            return v / jnp.max(jnp.abs(v))
+        return jax.lax.fori_loop(0, K, body, v)
+
+    dt = _chain_time(chain, x, 3, K)
+
+    def cpu_apply():
+        # reference-native path: grouped einsum apply in NumPy (f64, like
+        # the reference's operatornD SoP application)
+        xt = np.asarray(x_np, np.float64).reshape(dims_np)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            xt = np_apply(xt)
+            xt = xt / np.abs(xt).max()
+        return (time.perf_counter() - t0) / 2
+
+    b = baseline("sop_ch3cn_apply", f"{N}-{CUT}", cpu_apply)
+    emit("sop_ch3cn_gflops", uflops / dt / 1e9, "GFLOP/s",
+         (uflops / dt) / (uflops / b),
+         apply_ms=round(dt * 1e3, 2),
+         note="useful-FLOP basis; tile-fused super-modes (fuse=256)")
+
+
+# -- metric 4: FEAST window ---------------------------------------------------
+def _feast_problem():
     from eigensolvers_tpu.models.synthetic import known_spectrum_matrix
-    from eigensolvers_tpu import calculateTarget
-    H, ev = known_spectrum_matrix(N, eigenvalues=np.linspace(1, 1400, N),
-                                  seed=10, dtype=dtype)
+    n = 2048
+    H64, ev = known_spectrum_matrix(n, eigenvalues=np.linspace(1, float(n), n),
+                                    seed=10)
+    return n, np.asarray(H64), ev, 1000.25, 1004.75
+
+
+def bench_feast():
+    import scipy.linalg as la
+    from eigensolvers_tpu import (JaxVector, feastDiagonalization,
+                                  select_within_range, as_operator)
+
+    n, H64, ev, eMin, eMax = _feast_problem()
+    m0, nc = 10, 8
+    truth = select_within_range(ev, eMin, eMax)[0]
+    rng = np.random.RandomState(3)
+    Yg = la.qr(rng.rand(n, m0), mode="economic")[0]
+
+    def run(vec_cls, H, dtype, ls_args, maxit=8):
+        Y = [vec_cls(Yg[:, i].astype(dtype),
+                     {"linearSystemArgs": dict(ls_args)}) for i in range(m0)]
+        t0 = time.perf_counter()
+        evF, _, st = feastDiagonalization(H, Y, nc, "legendre", eMin, eMax,
+                                          1e-6, maxit, writeOut=False)
+        dt = time.perf_counter() - t0
+        got = np.sort(select_within_range(np.asarray(evF), eMin, eMax)[0])
+        errs = [min(abs(got - t)) for t in truth] if len(got) else [9e9]
+        assert len(got) >= len(truth) and max(errs) < 1e-4, \
+            f"FEAST incorrect: found {len(got)}, maxerr {max(errs):.2e}"
+        return dt
+
+    H32 = as_operator(H64.astype(np.float32))
+    ours_args = {"linearSolver": "minres", "linearIter": 2500,
+                 "linear_tol": 1e-5, "errorOnNonConvergence": False}
+    run(JaxVector, H32, np.float32, ours_args)          # warm/compile
+    t_ours = run(JaxVector, H32, np.float32, ours_args)
+
+    def cpu_feast():
+        from eigensolvers_tpu.vectors.numpy_backend import NumpyVector
+        return run(NumpyVector, H64, np.float64,
+                   {"linearSolver": "pardiso",
+                    "errorOnNonConvergence": False}, maxit=6)
+
+    t_base = baseline("feast_window", f"{n}-{m0}-{nc}", cpu_feast)
+    emit("feast_window_wall_s", t_ours, "s", t_base / t_ours,
+         note="split-complex batched MINRES f32 vs reference-native "
+              "NumpyVector+exact-direct f64")
+
+
+# -- metric 5: virtual-mesh sharding overhead ---------------------------------
+_SHARD_SNIPPET = r"""
+import os, time, json
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from eigensolvers_tpu.models.synthetic import known_spectrum_matrix
+from eigensolvers_tpu.ops.linear_solvers import minres_batch
+from eigensolvers_tpu.ops.operators import DenseOperator
+from eigensolvers_tpu.parallel.mesh import make_mesh
+
+n, lanes = 1024, 8
+H, ev = known_spectrum_matrix(n, eigenvalues=np.linspace(1, 1200, n), seed=2,
+                              dtype=np.float64)
+op = DenseOperator(np.asarray(H))
+rng = np.random.RandomState(0)
+B = jnp.asarray(rng.rand(lanes, n))
+sig = jnp.asarray(np.linspace(200.0, 900.0, lanes))
+
+def timed(Bp):
+    r = minres_batch(op, Bp, sig, rtol=1e-6, atol=0.0, maxiter=600)
+    np.asarray(r.x)  # compile+run
+    t0 = time.perf_counter()
+    for _ in range(3):
+        r = minres_batch(op, Bp, sig, rtol=1e-6, atol=0.0, maxiter=600)
+        np.asarray(r.x)
+    return (time.perf_counter() - t0) / 3
+
+t1 = timed(B)
+mesh = make_mesh(batch=8)
+Bs = jax.device_put(B, NamedSharding(mesh, P("b", None)))
+t8 = timed(Bs)
+print(json.dumps({"t1": t1, "t8": t8}))
+"""
+
+
+def bench_sharding_overhead():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-c", _SHARD_SNIPPET], env=env,
+                         capture_output=True, text=True, timeout=600)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    emit("sharding_overhead_x8", d["t8"] / d["t1"], "ratio",
+         d["t1"] / d["t8"],
+         note="8-lane batched MINRES, (8,1) virtual CPU mesh vs unsharded; "
+              "2-core host so ideal ratio ~1.0 (partitioning overhead, "
+              "not multi-chip speedup)")
+
+
+# -- headline: dense-2048 interior Lanczos ------------------------------------
+def bench_lanczos_headline():
+    import jax
+    from eigensolvers_tpu import JaxVector, as_operator, calculateTarget
+    from eigensolvers_tpu.models.synthetic import known_spectrum_matrix
+    from eigensolvers_tpu.solvers.fast_lanczos import \
+        fastLanczosDiagonalization
+    from eigensolvers_tpu import inexactLanczosDiagonalization
+
+    N, TARGET_INDEX, L, MAXIT, ECONV = 2048, 1316, 30, 10, 1e-6
+    H64, ev = known_spectrum_matrix(N, eigenvalues=np.linspace(1, 1400, N),
+                                    seed=10, dtype=np.float64)
     sigma = float(calculateTarget(ev, TARGET_INDEX))
     rng = np.random.RandomState(3)
     guess = rng.rand(N)
-    return H, ev, sigma, guess
+    truth = float(ev[np.argmin(np.abs(np.asarray(ev) - sigma))])
 
+    def nearest(evs, x):
+        evs = np.asarray(evs)
+        return float(evs[np.argmin(np.abs(evs - x))])
 
-def run_backend(vec_cls, H, sigma, guess, dtype, tol, fused=False):
-    from eigensolvers_tpu import inexactLanczosDiagonalization
-    Y0 = vec_cls(np.asarray(guess, dtype=dtype),
-                 {"linearSystemArgs": dict(tol)})
-    t0 = time.time()
-    if fused:
-        from eigensolvers_tpu.solvers.fast_lanczos import \
-            fastLanczosDiagonalization
-        ev, uv, status = fastLanczosDiagonalization(
-            H, Y0, sigma, L, MAXIT, ECONV)
-    else:
-        ev, uv, status = inexactLanczosDiagonalization(
-            H, Y0, sigma, L, MAXIT, ECONV, writeOut=False)
-    dt = time.time() - t0
-    return ev, status, dt
+    def cpu_run():
+        from eigensolvers_tpu.vectors.numpy_backend import NumpyVector
+        Y0 = NumpyVector(np.asarray(guess, np.float64),
+                         {"linearSystemArgs": {
+                             "linearSolver": "gcrotmk", "linearIter": 8000,
+                             "linear_tol": 1e-4, "linear_atol": 1e-4,
+                             "errorOnNonConvergence": False}})
+        t0 = time.perf_counter()
+        evL, _, _ = inexactLanczosDiagonalization(
+            np.asarray(H64), Y0, sigma, L, MAXIT, ECONV, writeOut=False)
+        dt = time.perf_counter() - t0
+        assert abs(nearest(evL, sigma) - truth) < 1e-3
+        return dt
 
+    t_base = baseline("dense2048_lanczos",
+                      f"{N}-{L}-{MAXIT}-{ECONV}", cpu_run)
 
-def nearest(ev, x):
-    ev = np.asarray(ev)
-    return float(ev[np.argmin(np.abs(ev - x))])
+    H32 = as_operator(np.asarray(H64).astype(np.float32))
+    jax.block_until_ready(H32.mat)
+    opts = {"linearSystemArgs": {
+        "linearSolver": "minres", "linearIter": 8000, "linear_tol": 1e-4,
+        "linear_atol": 1e-4, "errorOnNonConvergence": False}}
 
+    def tpu_run():
+        Y0 = JaxVector(np.asarray(guess, np.float32), opts)
+        t0 = time.perf_counter()
+        evL, _, _ = fastLanczosDiagonalization(H32, Y0, sigma, L, MAXIT,
+                                               ECONV)
+        dt = time.perf_counter() - t0
+        assert abs(nearest(evL, sigma) - truth) < 1e-2
+        return dt
 
-def _cfg_key():
-    return f"{N}-{L}-{MAXIT}-{ECONV}-{BASE_TOL['linear_tol']}-{platform.node()}"
-
-
-def baseline_seconds(H64, sigma, guess, truth):
-    if os.path.exists(CACHE):
-        try:
-            cache = json.load(open(CACHE))
-            if cache.get("key") == _cfg_key():
-                return float(cache["seconds"])
-        except Exception:
-            pass
-    from eigensolvers_tpu.vectors.numpy_backend import NumpyVector
-    ev, status, dt = run_backend(NumpyVector, H64, sigma, guess, np.float64,
-                                 BASE_TOL)
-    err = abs(nearest(ev, sigma) - truth)
-    assert err < 1e-3, f"baseline incorrect: err={err}"
-    json.dump({"key": _cfg_key(), "seconds": dt}, open(CACHE, "w"))
-    return dt
+    tpu_run()                       # compile (cached across rounds)
+    t_ours = tpu_run()
+    emit("dense2048_interior_lanczos_wall", t_ours, "s", t_base / t_ours)
 
 
 def main():
     import jax
-    # Persistent compilation cache: the dominant first-run cost on the TPU
-    # is XLA compilation of the jitted Krylov kernels (~3 min for the MINRES
-    # loop via remote compile); cache them across bench invocations.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(ROOT, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    from eigensolvers_tpu import JaxVector
+    jax.config.update("jax_enable_x64", True)
+    warnings.filterwarnings("ignore")
 
-    H64, ev_true, sigma, guess = build_problem(np.float64)
-    truth = nearest(ev_true, sigma)
+    bench_bsr()
+    bench_sop()
+    bench_feast()
+    bench_sharding_overhead()
+    bench_lanczos_headline()
 
-    t_base = baseline_seconds(H64, sigma, guess, truth)
-
-    # device-resident operator (uploaded once, like any production deployment
-    # that holds H in HBM across solves; the baseline likewise has H in RAM)
-    from eigensolvers_tpu import as_operator
-    H32 = as_operator(H64.astype(np.float32))
-    import jax as _jax
-    _jax.block_until_ready(H32.mat)
-    # warmup (compile; not timed) then the timed run, on the fused
-    # single-program-per-iteration driver
-    run_backend(JaxVector, H32, sigma, guess, np.float32, OURS_TOL, fused=True)
-    evJ, statusJ, t_ours = run_backend(JaxVector, H32, sigma, guess,
-                                       np.float32, OURS_TOL, fused=True)
-    err = abs(nearest(evJ, sigma) - truth)
-    # f32 compute bounds the eigenvalue error around ||H||*eps_f32 ~ 1e-4
-    assert err < 1e-2, f"TPU run incorrect: err={err}"
-
-    print(json.dumps({
-        "metric": f"dense{N}_interior_lanczos_wall",
-        "value": round(t_ours, 4),
-        "unit": "s",
-        "vs_baseline": round(t_base / t_ours, 3),
-    }))
+    meta = {"platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+            "metrics": METRICS}
+    json.dump(meta, open(RESULTS, "w"), indent=1)
+    for m in METRICS:
+        print(json.dumps(m))
+    return 0
 
 
 if __name__ == "__main__":

@@ -54,6 +54,7 @@ from .utils.subspace import (
 from .utils.quadrature import quadraturePointsWeights
 from .parallel.sharded import ShardedVector
 from .vectors.mps import MPSVector, MPO
+from .vectors.ttns import TTNSVector, TTNO, TreeTopology, parseTree
 from .vectors.numpy_backend import NumpyVector
 
 __version__ = "0.1.0"
@@ -69,6 +70,10 @@ __all__ = [
     "ShardedVector",
     "MPSVector",
     "MPO",
+    "TTNSVector",
+    "TTNO",
+    "TreeTopology",
+    "parseTree",
     "NumpyVector",
     "LINDEP_DEFAULT_VALUE",
     "as_operator",

@@ -407,10 +407,65 @@ def solve_exact(op, b, sigma, reverseGF=False) -> SolveResult:
             [inner.x, jnp.zeros(op.n_pad - n, inner.x.dtype)])
         return SolveResult(x, inner.resnorm, inner.iterations,
                            inner.converged)
-    x = _solve_exact_jit(op.to_dense(), b, jnp.asarray(sigma),
+    mat = op.to_dense()
+    x = _solve_exact_jit(mat, b, _sigma_array(sigma, mat.dtype, b.dtype),
                          -1.0 if reverseGF else 1.0)
     return SolveResult(x, jnp.zeros((), jnp.float64), jnp.ones((), jnp.int32),
                        jnp.asarray(True))
+
+
+def _sigma_array(sigma, *operand_dtypes):
+    """Shift scalar at the precision of the operands: complex64 shifts on
+    f32 data (TPU has no c128), complex128 on f64; real shifts stay real."""
+    width = max(jnp.dtype(jnp.result_type(d)).itemsize
+                for d in operand_dtypes)
+    # cast in numpy BEFORE the device transfer: a weak c128 scalar would
+    # otherwise be converted on-device, and TPUs have no c128 at all
+    if np.iscomplexobj(sigma) and np.imag(sigma) != 0:
+        return jnp.asarray(
+            np.asarray(sigma, np.complex64 if width <= 4 else np.complex128))
+    return jnp.asarray(
+        np.asarray(np.real(sigma), np.float32 if width <= 4 else np.float64))
+
+
+@jax.jit
+def _solve_exact_multi_jit(mat, B, sigma, gf_sign):
+    """One factorization of (sigma*I - H), all RHS columns at once."""
+    n = mat.shape[0]
+    dtype = jnp.result_type(mat.dtype, B.dtype, sigma.dtype)
+    A = gf_sign * (sigma * jnp.eye(n, dtype=dtype) - mat.astype(dtype))
+    return jnp.linalg.solve(A, B.T.astype(dtype)).T
+
+
+def solve_exact_batch(op, B, sigmas, reverseGF=False):
+    """Exact dense solves of (sigma_k*I - H) x_k = b_k for a lane stack
+    B (nlanes, n).  Lanes sharing a shift share ONE factorization with a
+    multi-RHS triangular solve (FEAST's nk x m0 lane layout repeats each
+    contour node m0 times; the per-lane loop would refactorize m0 times
+    per node — reference counterpart: the per-solve spsolve calls at
+    numpyVector.py:164-171).  Returns a list of SolveResult."""
+    from .operators import PaddedOperator
+    sig = np.asarray(sigmas).ravel()
+    if isinstance(op, PaddedOperator):
+        n = op.op.shape[0]
+        inner = solve_exact_batch(op.op, B[:, :n], sigmas,
+                                  reverseGF=reverseGF)
+        pad = jnp.zeros(op.n_pad - n, inner[0].x.dtype)
+        return [SolveResult(jnp.concatenate([r.x, pad]), r.resnorm,
+                            r.iterations, r.converged) for r in inner]
+    mat = op.to_dense()
+    gf = -1.0 if reverseGF else 1.0
+    xs = [None] * len(sig)
+    for s in sorted(set(sig.tolist()), key=lambda z: (np.real(z), np.imag(z))):
+        lanes = np.nonzero(sig == s)[0]
+        X = _solve_exact_multi_jit(mat, B[jnp.asarray(lanes)],
+                                   _sigma_array(s, mat.dtype, B.dtype), gf)
+        for j, lane in enumerate(lanes):
+            xs[int(lane)] = X[j]
+    zero = jnp.zeros((), jnp.float64)
+    one = jnp.ones((), jnp.int32)
+    true = jnp.asarray(True)
+    return [SolveResult(x, zero, one, true) for x in xs]
 
 
 # ----------------------------------------------------------------------------

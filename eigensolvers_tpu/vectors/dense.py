@@ -603,8 +603,7 @@ class JaxVector(AbstractVector):
         X0 = None if X0 is None else cls._place_batch(X0, bs[0])
 
         if solver == "exact":
-            outs = [ls.solve_exact(op, B[k], sig[k], reverseGF=reverseGF)
-                    for k in range(len(bs))]
+            outs = ls.solve_exact_batch(op, B, sig, reverseGF=reverseGF)
             xs = [o.x for o in outs]
             conv, resn, its = [list(map(t, a)) for t, a in zip(
                 (bool, float, int),

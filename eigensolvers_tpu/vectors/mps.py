@@ -362,6 +362,33 @@ class MPSVector(AbstractVector):
         options.setdefault("stateFittingArgs", dict(comp))
         self.options = options
 
+    # -- tensor-network algebra hooks ----------------------------------------
+    # Everything below the raw tensor level is representation-agnostic: the
+    # tree backend (vectors/ttns.py, the reference's TTNS role,
+    # ttnsVector.py:18-44) overrides exactly these six hooks and inherits
+    # every contract method, including the compressed-Krylov solvers.
+    def _wrap(self, tensors) -> "MPSVector":
+        """New vector of this backend around raw tensors (options shared by
+        reference, like the reference's option plumbing ttnsVector.py:114-117)."""
+        return type(self)(tensors, self.options)
+
+    def _vdot_t(self, a: List[Array], b: List[Array]):
+        return mps_vdot(a, b)
+
+    def _add_t(self, a: List[Array], b: List[Array]) -> List[Array]:
+        return mps_add(a, b)
+
+    def _scale_t(self, ts: List[Array], c) -> List[Array]:
+        return mps_scale(ts, c)
+
+    def _compress_t(self, ts: List[Array], maxD=None, eps=0.0):
+        return mps_compress(ts, maxD=maxD, eps=eps)
+
+    def _mpo(self, operator):
+        return _as_mpo(operator)
+
+    _supports_als = True   # chain-only DMRG/ALS sweep engines
+
     # -- constructors -------------------------------------------------------
     @classmethod
     def random(cls, dims, maxD, options=None, seed=0, dtype=np.float64):
@@ -397,12 +424,12 @@ class MPSVector(AbstractVector):
 
     # -- scalar ops ---------------------------------------------------------
     def __mul__(self, other: Number):
-        return type(self)(mps_scale(self.tensors, other), self.options)
+        return self._wrap(self._scale_t(self.tensors, other))
 
     __rmul__ = __mul__
 
     def __truediv__(self, other: Number):
-        return type(self)(mps_scale(self.tensors, 1.0 / other), self.options)
+        return self._wrap(self._scale_t(self.tensors, 1.0 / other))
 
     def __imul__(self, other: Number):
         self.tensors[0] = self.tensors[0] * other
@@ -413,7 +440,7 @@ class MPSVector(AbstractVector):
         return self
 
     def norm(self) -> float:
-        return float(np.sqrt(abs(mps_vdot(self.tensors, self.tensors))))
+        return float(np.sqrt(abs(self._vdot_t(self.tensors, self.tensors))))
 
     def normalize(self):
         n = self.norm()
@@ -426,31 +453,32 @@ class MPSVector(AbstractVector):
         # FEAST accumulation path only calls real() on exact-addition
         # backends, so plain elementwise real of an (already combined)
         # state is the meaningful operation here.
-        return type(self)([np.real(t) for t in self.tensors], self.options)
+        return self._wrap([np.real(t) for t in self.tensors])
 
     def conjugate(self):
-        return type(self)([np.conj(t) for t in self.tensors], self.options)
+        return self._wrap([np.conj(t) for t in self.tensors])
 
     def vdot(self, other, conjugate: bool = True):
         if not conjugate:
             bra = [t.conj() for t in self.tensors]
-            return mps_vdot(bra, other.tensors)
-        return mps_vdot(self.tensors, other.tensors)
+            return self._vdot_t(bra, other.tensors)
+        return self._vdot_t(self.tensors, other.tensors)
 
     def copy(self):
-        return type(self)([t.copy() for t in self.tensors], self.options)
+        return self._wrap([t.copy() for t in self.tensors])
 
     def applyOp(self, operator):
-        mpo = _as_mpo(operator)
+        mpo = self._mpo(operator)
         args = self.options["compressArgs"]
-        ts, _ = mps_compress(mpo.apply(self.tensors),
-                             maxD=args["maxD"], eps=args["eps"])
-        return type(self)(ts, self.options)
+        ts, _ = self._compress_t(mpo.apply(self.tensors),
+                                 maxD=args["maxD"], eps=args["eps"])
+        return self._wrap(ts)
 
     def compress(self):
         args = self.options["compressArgs"]
-        ts, _ = mps_compress(self.tensors, maxD=args["maxD"], eps=args["eps"])
-        return type(self)(ts, self.options)
+        ts, _ = self._compress_t(self.tensors, maxD=args["maxD"],
+                                 eps=args["eps"])
+        return self._wrap(ts)
 
     def to_state_dict(self) -> dict:
         state = {"kind": np.asarray("mps"),
@@ -470,16 +498,16 @@ class MPSVector(AbstractVector):
         """Σ c_i v_i by direct-sum accumulation with intermediate
         compression (bounds the working bond dimension)."""
         assert len(vectors) == len(coeffs)
-        args = vectors[0].options.get("stateFittingArgs",
-                                      vectors[0].options["compressArgs"])
+        v0 = vectors[0]
+        args = v0.options.get("stateFittingArgs", v0.options["compressArgs"])
         maxD, eps = args["maxD"], args.get("eps", 0.0)
-        acc = mps_scale(vectors[0].tensors, coeffs[0])
+        acc = v0._scale_t(v0.tensors, coeffs[0])
         for v, c in zip(vectors[1:], coeffs[1:]):
-            acc = mps_add(acc, mps_scale(v.tensors, c))
+            acc = v0._add_t(acc, v0._scale_t(v.tensors, c))
             if max(t.shape[0] for t in acc[1:]) > 2 * maxD:
-                acc, _ = mps_compress(acc, maxD=maxD, eps=eps)
-        acc, _ = mps_compress(acc, maxD=maxD, eps=eps)
-        return cls(acc, vectors[0].options)
+                acc, _ = v0._compress_t(acc, maxD=maxD, eps=eps)
+        acc, _ = v0._compress_t(acc, maxD=maxD, eps=eps)
+        return v0._wrap(acc)
 
     @classmethod
     def orthogonalize_against_set(cls, x: "MPSVector", qs: List["MPSVector"],
@@ -490,14 +518,14 @@ class MPSVector(AbstractVector):
         maxD, eps = args["maxD"], args.get("eps", 0.0)
         cur = [t.copy() for t in x.tensors]
         for q in qs:
-            c = mps_vdot(q.tensors, cur)
-            cur = mps_add(cur, mps_scale(q.tensors, -c))
-            cur, _ = mps_compress(cur, maxD=maxD, eps=eps)
-        nrm2 = abs(mps_vdot(cur, cur))
+            c = x._vdot_t(q.tensors, cur)
+            cur = x._add_t(cur, x._scale_t(q.tensors, -c))
+            cur, _ = x._compress_t(cur, maxD=maxD, eps=eps)
+        nrm2 = abs(x._vdot_t(cur, cur))
         if nrm2 < lindep:
             return None
-        cur = mps_scale(cur, 1.0 / np.sqrt(nrm2))
-        return cls(cur, x.options)
+        cur = x._scale_t(cur, 1.0 / np.sqrt(nrm2))
+        return x._wrap(cur)
 
     @classmethod
     def orthogonalize(cls, xs: List["MPSVector"],
@@ -509,10 +537,10 @@ class MPSVector(AbstractVector):
         out: List["MPSVector"] = []
         for x in xs:
             if not out:
-                nrm2 = abs(mps_vdot(x.tensors, x.tensors))
+                nrm2 = abs(x._vdot_t(x.tensors, x.tensors))
                 if nrm2 > lindep:
-                    out.append(cls(mps_scale(x.tensors, 1.0 / np.sqrt(nrm2)),
-                                   x.options))
+                    out.append(x._wrap(
+                        x._scale_t(x.tensors, 1.0 / np.sqrt(nrm2))))
                 continue
             v = cls.orthogonalize_against_set(x, out, lindep)
             if v is not None:
@@ -521,7 +549,7 @@ class MPSVector(AbstractVector):
 
     @classmethod
     def matrixRepresentation(cls, operator, vectors: List["MPSVector"]):
-        mpo = _as_mpo(operator)
+        mpo = vectors[0]._mpo(operator)
         m = len(vectors)
         dtype = np.result_type(mpo.dtype, *[v.dtype for v in vectors])
         M = np.empty((m, m), dtype=dtype)
@@ -535,17 +563,18 @@ class MPSVector(AbstractVector):
     @classmethod
     def overlapMatrix(cls, vectors: List["MPSVector"]):
         m = len(vectors)
+        v0 = vectors[0]
         dtype = np.result_type(*[v.dtype for v in vectors])
         S = np.empty((m, m), dtype=dtype)
         for i in range(m):
             for j in range(i, m):
-                S[i, j] = mps_vdot(vectors[i].tensors, vectors[j].tensors)
+                S[i, j] = v0._vdot_t(vectors[i].tensors, vectors[j].tensors)
                 S[j, i] = np.conj(S[i, j])
         return S
 
     @classmethod
     def extendMatrixRepresentation(cls, operator, vectors, opMat):
-        mpo = _as_mpo(operator)
+        mpo = vectors[0]._mpo(operator)
         m = len(vectors)
         col = np.array([mpo.sandwich(v.tensors, vectors[-1].tensors)
                         for v in vectors])
@@ -555,7 +584,8 @@ class MPSVector(AbstractVector):
 
     @classmethod
     def extendOverlapMatrix(cls, vectors, overlap):
-        col = np.array([mps_vdot(v.tensors, vectors[-1].tensors)
+        v0 = vectors[0]
+        col = np.array([v0._vdot_t(v.tensors, vectors[-1].tensors)
                         for v in vectors])
         overlap = np.append(overlap, col[None, :-1].conj(), axis=0)
         overlap = np.append(overlap, col[:, None], axis=1)
@@ -572,7 +602,7 @@ class MPSVector(AbstractVector):
         ``maxD`` — the compressed-arithmetic analog of the reference's
         inexact sweep solves (reference: ttnsVector.py:169-196).
         """
-        mpo = _as_mpo(H)
+        mpo = b._mpo(H)
         opts = b.options["linearSystemArgs"]
         maxD, eps = opts["maxD"], opts.get("eps", 0.0)
         rtol = opts["linear_tol"]
@@ -581,6 +611,10 @@ class MPSVector(AbstractVector):
         complex_shift = bool(np.iscomplexobj(np.asarray(sigma)))
 
         if opts.get("method", "krylov") == "als":
+            if not cls._supports_als:
+                raise ValueError(
+                    "ALS sweep solves are chain-only; the tree backend "
+                    "uses the compressed-Krylov method")
             # DMRG-style two-site sweeps (the reference's LinearSystem-sweep
             # analog, ttnsVector.py:169-196) with SVD bond adaptation
             from .mps_sweeps import als_solve
@@ -591,56 +625,59 @@ class MPSVector(AbstractVector):
                            convTol=opts.get("convTol", rtol),
                            local_tol=opts.get("siteTol", max(rtol * 1e-2, 1e-10)),
                            local_maxiter=maxiter)
-            return cls(xt, b.options)
+            return b._wrap(xt)
 
         def comp(ts):
-            out, _ = mps_compress(ts, maxD=maxD, eps=eps)
+            out, _ = b._compress_t(ts, maxD=maxD, eps=eps)
             return out
 
         def matvec(ts):
             Hts = mpo.apply(ts)
-            out = mps_add(mps_scale(ts, sign * sigma), mps_scale(Hts, -sign))
+            out = b._add_t(b._scale_t(ts, sign * sigma),
+                           b._scale_t(Hts, -sign))
             return comp(out)
 
         bt = b.tensors
         if complex_shift and not np.iscomplexobj(bt[0]):
             bt = [t.astype(complex) for t in bt]
-        bnorm = float(np.sqrt(abs(mps_vdot(bt, bt))))
+        bnorm = float(np.sqrt(abs(b._vdot_t(bt, bt))))
         tol_abs = max(rtol * bnorm, 0.0)
 
         solver = "bicgstab" if (complex_shift or opType == "gen") else "minres"
         if solver == "minres":
-            x = _mps_minres(matvec, bt, comp, tol_abs, maxiter)
+            x = _tn_minres(b, matvec, bt, comp, tol_abs, maxiter)
         else:
-            x = _mps_bicgstab(matvec, bt, comp, tol_abs, maxiter)
-        return cls(x, b.options)
+            x = _tn_bicgstab(b, matvec, bt, comp, tol_abs, maxiter)
+        return b._wrap(x)
 
 
-def _mps_minres(matvec, b, comp, tol_abs, maxiter):
-    """MINRES in compressed MPS arithmetic (Paige-Saunders recurrences with
-    re-compression after every vector update)."""
-    x = mps_scale(b, 0.0)
+def _tn_minres(ops, matvec, b, comp, tol_abs, maxiter):
+    """MINRES in compressed tensor-network arithmetic (Paige-Saunders
+    recurrences with re-compression after every vector update).  ``ops`` is
+    any vector instance providing the _add_t/_scale_t/_vdot_t hooks (MPS or
+    tree backend)."""
+    x = ops._scale_t(b, 0.0)
     r1 = b
     y = r1
-    beta1 = np.sqrt(abs(mps_vdot(r1, y)))
+    beta1 = np.sqrt(abs(ops._vdot_t(r1, y)))
     if beta1 == 0:
         return x
     oldb, beta = 0.0, beta1
     dbar = epsln = 0.0
     phibar = beta1
     cs, sn = -1.0, 0.0
-    w = mps_scale(b, 0.0)
-    w2 = mps_scale(b, 0.0)
+    w = ops._scale_t(b, 0.0)
+    w2 = ops._scale_t(b, 0.0)
     r2 = r1
     for itn in range(1, maxiter + 1):
-        v = mps_scale(y, 1.0 / beta)
+        v = ops._scale_t(y, 1.0 / beta)
         y = matvec(v)
         if itn >= 2:
-            y = comp(mps_add(y, mps_scale(r1, -beta / oldb)))
-        alfa = np.real(mps_vdot(v, y))
-        y = comp(mps_add(y, mps_scale(r2, -alfa / beta)))
+            y = comp(ops._add_t(y, ops._scale_t(r1, -beta / oldb)))
+        alfa = np.real(ops._vdot_t(v, y))
+        y = comp(ops._add_t(y, ops._scale_t(r2, -alfa / beta)))
         r1, r2 = r2, y
-        oldb, beta = beta, np.sqrt(abs(mps_vdot(y, y)))
+        oldb, beta = beta, np.sqrt(abs(ops._vdot_t(y, y)))
         oldeps = epsln
         delta = cs * dbar + sn * alfa
         gbar = sn * dbar - cs * alfa
@@ -652,52 +689,52 @@ def _mps_minres(matvec, b, comp, tol_abs, maxiter):
         phibar = sn * phibar
         w1 = w2
         w2 = w
-        w = comp(mps_add(mps_add(v, mps_scale(w1, -oldeps)),
-                         mps_scale(w2, -delta)))
-        w = mps_scale(w, 1.0 / gamma)
-        x = comp(mps_add(x, mps_scale(w, phi)))
+        w = comp(ops._add_t(ops._add_t(v, ops._scale_t(w1, -oldeps)),
+                            ops._scale_t(w2, -delta)))
+        w = ops._scale_t(w, 1.0 / gamma)
+        x = comp(ops._add_t(x, ops._scale_t(w, phi)))
         if phibar <= tol_abs or beta == 0:
             break
     return x
 
 
-def _mps_bicgstab(matvec, b, comp, tol_abs, maxiter):
-    """BiCGStab in compressed MPS arithmetic (complex shifts)."""
-    x = mps_scale(b, 0.0)
+def _tn_bicgstab(ops, matvec, b, comp, tol_abs, maxiter):
+    """BiCGStab in compressed tensor-network arithmetic (complex shifts)."""
+    x = ops._scale_t(b, 0.0)
     r = b
     rhat = [t.copy() for t in r]
     rho = alpha = omega = 1.0
     v = p = None
     rho_prev = None
     for itn in range(1, maxiter + 1):
-        rho = mps_vdot(rhat, r)
+        rho = ops._vdot_t(rhat, r)
         if rho == 0:
             break
         if itn == 1:
             p = r
         else:
             beta = (rho / rho_prev) * (alpha / omega)
-            pm = mps_add(p, mps_scale(v, -omega))
-            p = comp(mps_add(r, mps_scale(pm, beta)))
+            pm = ops._add_t(p, ops._scale_t(v, -omega))
+            p = comp(ops._add_t(r, ops._scale_t(pm, beta)))
         v = matvec(p)
-        denom = mps_vdot(rhat, v)
+        denom = ops._vdot_t(rhat, v)
         if denom == 0:
             break
         alpha = rho / denom
-        s = comp(mps_add(r, mps_scale(v, -alpha)))
-        snorm = np.sqrt(abs(mps_vdot(s, s)))
+        s = comp(ops._add_t(r, ops._scale_t(v, -alpha)))
+        snorm = np.sqrt(abs(ops._vdot_t(s, s)))
         if snorm <= tol_abs:
-            x = comp(mps_add(x, mps_scale(p, alpha)))
+            x = comp(ops._add_t(x, ops._scale_t(p, alpha)))
             break
         t = matvec(s)
-        tt = mps_vdot(t, t)
+        tt = ops._vdot_t(t, t)
         if tt == 0:
             break
-        omega = mps_vdot(t, s) / tt
-        x = comp(mps_add(mps_add(x, mps_scale(p, alpha)),
-                         mps_scale(s, omega)))
-        r = comp(mps_add(s, mps_scale(t, -omega)))
-        rnorm = np.sqrt(abs(mps_vdot(r, r)))
+        omega = ops._vdot_t(t, s) / tt
+        x = comp(ops._add_t(ops._add_t(x, ops._scale_t(p, alpha)),
+                            ops._scale_t(s, omega)))
+        r = comp(ops._add_t(s, ops._scale_t(t, -omega)))
+        rnorm = np.sqrt(abs(ops._vdot_t(r, r)))
         if rnorm <= tol_abs:
             break
         rho_prev = rho

@@ -1,0 +1,412 @@
+"""TTNSVector — tree-tensor-network-state backend of the AbstractVector
+contract.
+
+This is the direct counterpart of the reference's TTNS backend
+(reference: ttnsVector.py:18-44, whose heavy lifting lives in the external
+``ttns2`` package — ``parseTree`` topologies, sweep engines): a compressed
+state over an arbitrary rooted tree of modes, not just a chain.  It inherits
+every contract method — including the compressed-Krylov shifted solves,
+whole-set orthogonalization, and the S/H subspace assembly — from
+:class:`~eigensolvers_tpu.vectors.mps.MPSVector` by overriding only the six
+raw tensor-algebra hooks (``_vdot_t``/``_add_t``/``_scale_t``/
+``_compress_t``/``_mpo``/``_wrap``).  A chain topology reproduces MPSVector
+exactly; a branched topology is what the reference's 6-leaf-tree tests
+exercise (reference: unittests/test_lanczosTTNS.py:38-60).
+
+Representation
+--------------
+* Nodes are numbered in **pre-order DFS** (every subtree is a contiguous
+  index range; the root is node 0), one physical mode per node.
+* Node ``i`` carries a tensor with axes ``(D_parent, n_i, D_child_1, ...,
+  D_child_k)`` — children in increasing node order; the root's parent bond
+  has dimension 1, so every tensor has uniform axis conventions (axis 0 =
+  parent bond, axis 1 = physical).  A chain is the degenerate tree
+  ``parents = (-1, 0, 1, ...)`` with the same (D_l, n, D_r) site shapes as
+  the MPS backend.
+* Compression = leaves-to-root QR canonicalization, then a root-to-leaves
+  SVD truncation pass that moves the orthogonality center down each branch
+  and back (exact local truncation at every bond, the tree generalization of
+  the MPS two-sweep canonical form).
+
+The operator enters as a term-diagonal TTNO (the tree analog of the
+term-diagonal MPO): every tree edge carries the SoP term index with diagonal
+transfer, one stacked factor per node.  ``sandwich`` is computed as
+``vdot(bra, apply(ket))`` without intermediate compression — exact, and the
+same leading cost as a fused three-layer zipper.
+
+Like the MPS backend, contractions run on HOST numpy/f64 by design (small
+data-dependent shapes; see the placement note in vectors/mps.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .mps import MPSVector, Array
+
+
+# ----------------------------------------------------------------------------
+# topology
+# ----------------------------------------------------------------------------
+class TreeTopology:
+    """Rooted tree over nodes 0..L-1 in pre-order DFS numbering."""
+
+    def __init__(self, parents: Sequence[int]):
+        parents = tuple(int(p) for p in parents)
+        assert parents[0] == -1, "node 0 must be the root"
+        for i, p in enumerate(parents[1:], 1):
+            assert 0 <= p < i, f"node {i}: parent {p} must precede it"
+        self.parents = parents
+        L = len(parents)
+        children: List[List[int]] = [[] for _ in range(L)]
+        for i in range(1, L):
+            children[parents[i]].append(i)
+        self.children = tuple(tuple(c) for c in children)
+        # subtree sizes + pre-order check (each subtree contiguous)
+        size = [1] * L
+        for i in range(L - 1, 0, -1):
+            size[parents[i]] += size[i]
+        self.subtree_size = tuple(size)
+        for i in range(L):
+            off = i + 1
+            for c in self.children[i]:
+                assert c == off, \
+                    f"not pre-order: child {c} of {i}, expected {off}"
+                off += size[c]
+
+    def __len__(self):
+        return len(self.parents)
+
+    def __eq__(self, other):
+        return isinstance(other, TreeTopology) and \
+            self.parents == other.parents
+
+    def __hash__(self):
+        return hash(self.parents)
+
+    def child_axis(self, p: int, c: int) -> int:
+        """Axis of child bond c in node p's tensor."""
+        return 2 + self.children[p].index(c)
+
+    @classmethod
+    def chain(cls, L: int) -> "TreeTopology":
+        return cls((-1,) + tuple(range(L - 1)))
+
+    @classmethod
+    def from_nested(cls, nested) -> "TreeTopology":
+        """Build from a nested-list tree shape, e.g. ``[[], [[], []]]`` is a
+        root with two children, the second of which has two leaf children.
+        Node numbers are assigned in pre-order (parity with the reference's
+        ``ttns2.parseTree`` role)."""
+        parents = [-1]
+
+        def walk(sub, me):
+            for child in sub:
+                parents.append(me)
+                walk(child, len(parents) - 1)
+
+        walk(nested, 0)
+        return cls(parents)
+
+
+parseTree = TreeTopology.from_nested   # reference-parity alias
+
+
+# ----------------------------------------------------------------------------
+# tree tensor algebra
+# ----------------------------------------------------------------------------
+def ttns_random(topo: TreeTopology, dims: Sequence[int], maxD: int,
+                seed: int = 0, dtype=np.float64) -> List[Array]:
+    """Random TTNS with bond dims capped by maxD and the entanglement limit
+    (min of the two subtree dimensions across each bond)."""
+    rng = np.random.RandomState(seed)
+    L = len(topo)
+    n_total = int(np.prod(dims))
+    # subtree physical dimension per node
+    sub = [1] * L
+    for i in range(L - 1, -1, -1):
+        sub[i] = int(dims[i]) * int(np.prod([sub[c]
+                                             for c in topo.children[i]] or [1]))
+    bond = [1] * L   # bond[i] = dim of (i -> parent) bond; root keeps 1
+    for i in range(1, L):
+        bond[i] = int(min(maxD, sub[i], n_total // sub[i]))
+    ts = []
+    for i in range(L):
+        shape = (bond[i] if i else 1, int(dims[i])) + \
+            tuple(bond[c] for c in topo.children[i])
+        t = rng.standard_normal(shape)
+        if np.issubdtype(np.dtype(dtype), np.complexfloating):
+            t = t + 1j * rng.standard_normal(shape)
+        ts.append(t.astype(dtype))
+    return ts
+
+
+def ttns_vdot(topo: TreeTopology, bra: List[Array], ket: List[Array]):
+    """<bra|ket> by bottom-up transfer contraction (children before
+    parents; pre-order numbering makes reverse index order valid)."""
+    L = len(topo)
+    env: List[Optional[Array]] = [None] * L
+    for i in range(L - 1, -1, -1):
+        T = bra[i].conj()                    # (p, n, c1..ck)
+        for c in topo.children[i]:
+            # contract current axis 2 (next child bond), appending the
+            # ket-side child bond at the end — after all children:
+            # (p, n, cB1..cBk)
+            T = np.tensordot(T, env[c], axes=([2], [0]))
+        k = len(topo.children[i])
+        env[i] = np.tensordot(T, ket[i],
+                              axes=(list(range(1, k + 2)),
+                                    list(range(1, k + 2))))   # (pA, pB)
+    return env[0][0, 0]
+
+
+def ttns_scale(ts: List[Array], c) -> List[Array]:
+    out = [t.copy() for t in ts]
+    out[0] = out[0] * c
+    return out
+
+
+def ttns_add(topo: TreeTopology, a: List[Array], b: List[Array]) -> List[Array]:
+    """Exact direct-sum addition: block-diagonal on every tree bond."""
+    L = len(topo)
+    dtype = np.result_type(a[0].dtype, b[0].dtype)
+    if L == 1:
+        return [a[0].astype(dtype) + b[0].astype(dtype)]
+    out = []
+    for i in range(L):
+        Ai, Bi = a[i], b[i]
+        # summed dims on every real bond; parent stays 1 at the root
+        shape = list(Ai.shape)
+        for ax in range(len(shape)):
+            if ax == 1 or (i == 0 and ax == 0):
+                continue
+            shape[ax] = Ai.shape[ax] + Bi.shape[ax]
+        t = np.zeros(shape, dtype)
+        slA = tuple(slice(0, sA) if not (ax == 1 or (i == 0 and ax == 0))
+                    else slice(None)
+                    for ax, sA in enumerate(Ai.shape))
+        slB = tuple(slice(sA, None) if not (ax == 1 or (i == 0 and ax == 0))
+                    else slice(None)
+                    for ax, sA in enumerate(Ai.shape))
+        t[slA] = Ai
+        t[slB] = Bi
+        out.append(t)
+    return out
+
+
+def _qr_toward_parent(topo, ts, i):
+    """Make node i an isometry w.r.t. its parent bond; absorb R upward."""
+    T = ts[i]
+    Dp = T.shape[0]
+    rest = T.shape[1:]
+    q, r = np.linalg.qr(T.reshape(Dp, -1).T)        # (rest, k), (k, Dp)
+    ts[i] = np.ascontiguousarray(q.T).reshape((q.shape[1],) + rest)
+    p = topo.parents[i]
+    ax = topo.child_axis(p, i)
+    ts[p] = np.moveaxis(np.tensordot(ts[p], r, axes=([ax], [1])), -1, ax)
+
+
+def _keep_count(s: np.ndarray, maxD: Optional[int], eps: float) -> int:
+    keep = len(s)
+    if eps > 0.0:
+        tot = np.sum(s ** 2)
+        if tot > 0:
+            csum = np.cumsum((s ** 2)[::-1])[::-1]
+            keep = max(1, int(np.sum(csum > eps ** 2 * tot)))
+    if maxD is not None:
+        keep = min(keep, maxD)
+    return keep
+
+
+def ttns_compress(topo: TreeTopology, ts: List[Array],
+                  maxD: Optional[int] = None,
+                  eps: float = 0.0) -> Tuple[List[Array], float]:
+    """Canonicalize (leaves-to-root QR), then truncate every bond with the
+    orthogonality center moved along a DFS walk (exact local SVD truncation
+    at each bond — the tree generalization of the MPS two-sweep form).
+
+    :returns: (compressed tensors, discarded weight estimate)
+    """
+    L = len(topo)
+    ts = [t.copy() for t in ts]
+    for i in range(L - 1, 0, -1):      # children before parents
+        _qr_toward_parent(topo, ts, i)
+    discarded = [0.0]
+
+    def down(p):
+        for c in topo.children[p]:
+            ax = topo.child_axis(p, c)
+            T = ts[p]
+            D = T.shape[ax]
+            M = np.moveaxis(T, ax, -1)
+            other = M.shape[:-1]
+            u, s, vh = np.linalg.svd(M.reshape(-1, D), full_matrices=False)
+            keep = _keep_count(s, maxD, eps)
+            discarded[0] += float(np.sum(s[keep:] ** 2))
+            ts[p] = np.moveaxis(u[:, :keep].reshape(other + (keep,)), -1, ax)
+            carry = s[:keep, None] * vh[:keep]              # (keep, D)
+            ts[c] = np.tensordot(carry, ts[c], axes=([1], [0]))
+            down(c)                     # center is now at c
+            _qr_toward_parent(topo, ts, c)   # move center back to p
+
+    down(0)
+    return ts, discarded[0]
+
+
+def ttns_dense(topo: TreeTopology, ts: List[Array]) -> Array:
+    """Densify to the full tensor, physical axes in node (pre-order) order
+    (small test systems only)."""
+    L = len(topo)
+    val: List[Optional[Array]] = [None] * L
+    for i in range(L - 1, -1, -1):
+        T = ts[i]                       # (p, n, c1..ck)
+        for c in topo.children[i]:
+            # child value (Dc, m_c): contract current axis 2, phys block
+            # appended at the end — pre-order: n_i then subtrees in order
+            T = np.tensordot(T, val[c], axes=([2], [0]))
+        Dp = T.shape[0]
+        val[i] = T.reshape(Dp, -1)
+    return val[0][0]
+
+
+# ----------------------------------------------------------------------------
+# TTNO — tree tensor network operator from stacked SoP factors
+# ----------------------------------------------------------------------------
+class TTNO:
+    """Term-diagonal tree operator: node tensors (S_p, n, n, S_c1..S_ck)
+    with the SoP term index threaded diagonally through every edge (the tree
+    analog of the term-diagonal MPO; coefficient already folded into the
+    stacked factors)."""
+
+    def __init__(self, topo: TreeTopology, tensors: List[Array]):
+        self.topo = topo
+        self.tensors = tensors
+
+    @classmethod
+    def from_sop(cls, topo: TreeTopology, op) -> "TTNO":
+        factors = [np.asarray(f) for f in op.factors]
+        assert len(factors) == len(topo), \
+            f"operator has {len(factors)} modes, tree has {len(topo)}"
+        S = factors[0].shape[0]
+        ts = []
+        for i, F in enumerate(factors):
+            n = F.shape[1]
+            k = len(topo.children[i])
+            Sp = 1 if i == 0 else S
+            if i == 0 and k == 0:       # single node
+                ts.append(F.sum(axis=0)[None])
+                continue
+            W = np.zeros((Sp, n, n) + (S,) * k, F.dtype)
+            idx = np.arange(S)
+            W[(idx if i else np.zeros(S, int), slice(None), slice(None))
+              + (idx,) * k] = F
+            ts.append(W)
+        return cls(topo, ts)
+
+    @property
+    def dtype(self):
+        return np.result_type(*[t.dtype for t in self.tensors])
+
+    def apply(self, mps: List[Array]) -> List[Array]:
+        """Exact TTNO @ TTNS (bond dims multiply; compress afterwards)."""
+        out = []
+        for W, T in zip(self.tensors, mps):
+            k = W.ndim - 3               # number of children
+            # W (Sp, n', n, Sc..) x T (Dp, n, Dc..) over the ket phys index
+            t = np.tensordot(W, T, axes=([2], [1]))
+            # axes now (Sp, n', Sc1..Sck, Dp, Dc1..Dck): Scj at 2+j,
+            # Dp at k+2, Dcj at k+3+j
+            perm = [0, k + 2, 1]
+            for j in range(k):
+                perm += [2 + j, k + 3 + j]
+            t = np.transpose(t, perm)    # (Sp, Dp, n', Sc1, Dc1, ...)
+            shape = (t.shape[0] * t.shape[1], t.shape[2]) + tuple(
+                t.shape[3 + 2 * j] * t.shape[4 + 2 * j] for j in range(k))
+            out.append(np.ascontiguousarray(t).reshape(shape))
+        return out
+
+    def sandwich(self, bra: List[Array], ket: List[Array]):
+        """<bra| H |ket> = vdot(bra, H|ket>) without compression — exact,
+        same leading cost as a fused three-layer transfer contraction."""
+        return ttns_vdot(self.topo, bra, self.apply(ket))
+
+
+# ----------------------------------------------------------------------------
+# the backend class
+# ----------------------------------------------------------------------------
+class TTNSVector(MPSVector):
+    """Tree-tensor-network-state vector (reference: ttnsVector.py role over
+    true tree topologies).  Same options plumbing as MPSVector; a chain
+    topology is numerically identical to the MPS backend."""
+
+    _supports_als = False   # the ALS/DMRG sweep engines are chain-only
+
+    def __init__(self, tensors: List[Array], options: Optional[dict] = None,
+                 topo: Optional[TreeTopology] = None):
+        assert topo is not None, "TTNSVector needs a TreeTopology"
+        self.topo = topo
+        super().__init__(tensors, options)
+        assert len(self.tensors) == len(topo)
+
+    # -- hook overrides ------------------------------------------------------
+    def _wrap(self, tensors) -> "TTNSVector":
+        return type(self)(tensors, self.options, topo=self.topo)
+
+    def _vdot_t(self, a, b):
+        return ttns_vdot(self.topo, a, b)
+
+    def _add_t(self, a, b):
+        return ttns_add(self.topo, a, b)
+
+    def _scale_t(self, ts, c):
+        return ttns_scale(ts, c)
+
+    def _compress_t(self, ts, maxD=None, eps=0.0):
+        return ttns_compress(self.topo, ts, maxD=maxD, eps=eps)
+
+    def _mpo(self, operator):
+        if isinstance(operator, TTNO):
+            return operator
+        cache = getattr(operator, "_ttno_cache", None)
+        if cache is None:
+            cache = {}
+            try:
+                operator._ttno_cache = cache
+            except Exception:  # pragma: no cover
+                pass
+        ttno = cache.get(self.topo)
+        if ttno is None:
+            ttno = TTNO.from_sop(self.topo, operator)
+            cache[self.topo] = ttno
+        return ttno
+
+    # -- constructors / conversions ------------------------------------------
+    @classmethod
+    def random(cls, topo, dims, maxD, options=None, seed=0, dtype=np.float64):
+        v = cls(ttns_random(topo, dims, maxD, seed=seed, dtype=dtype),
+                options, topo=topo)
+        return v.normalize()
+
+    def to_dense(self) -> np.ndarray:
+        return ttns_dense(self.topo, self.tensors)
+
+    @property
+    def maxD(self) -> int:
+        return max((t.shape[0] for t in self.tensors[1:]), default=1)
+
+    def to_state_dict(self) -> dict:
+        state = {"kind": np.asarray("ttns"),
+                 "n_sites": np.asarray(len(self.tensors)),
+                 "parents": np.asarray(self.topo.parents)}
+        for i, t in enumerate(self.tensors):
+            state[f"tensor_{i}"] = t
+        return state
+
+    @classmethod
+    def from_state_dict(cls, state, options=None):
+        n = int(state["n_sites"])
+        topo = TreeTopology(tuple(int(p) for p in state["parents"]))
+        return cls([state[f"tensor_{i}"] for i in range(n)], options,
+                   topo=topo)
