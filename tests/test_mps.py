@@ -255,3 +255,32 @@ def test_mpo_cached_and_compressed():
     mpo_ref = MPO.from_sop(op)
     M_ref = MPSVector.matrixRepresentation(mpo_ref, vs)
     np.testing.assert_allclose(M_fast, M_ref, atol=1e-10)
+
+
+def test_extend_applies_operator_once(monkeypatch):
+    """Subspace-column extension must apply the operator ONCE for the shared
+    ket and fill the column with plain overlaps — not re-zip the MPO per
+    pair (the dominant MPS assembly cost at m = nBlock*L >~ 50)."""
+    import eigensolvers_tpu.vectors.mps as mps_mod
+    from eigensolvers_tpu import MPSVector, SumOfProductOperator
+    from eigensolvers_tpu.models.synthetic import random_sop_terms
+
+    dims = [3, 3, 3, 3]
+    op = SumOfProductOperator.from_terms(
+        4, dims, random_sop_terms(nDim=4, dims=dims, nSum=2, seed=3))
+    vs = [MPSVector.random(dims, 4, seed=s) for s in range(5)]
+    M0 = MPSVector.matrixRepresentation(op, vs[:4])
+
+    calls = {"n": 0}
+    orig = mps_mod.MPO.apply
+
+    def counting_apply(self, ts):
+        calls["n"] += 1
+        return orig(self, ts)
+
+    monkeypatch.setattr(mps_mod.MPO, "apply", counting_apply)
+    M1 = MPSVector.extendMatrixRepresentation(op, vs[:5], M0)
+    assert calls["n"] == 1
+    np.testing.assert_allclose(M1[:4, :4], M0, atol=1e-12)
+    np.testing.assert_allclose(
+        M1, MPSVector.matrixRepresentation(op, vs[:5]), atol=1e-10)
