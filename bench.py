@@ -222,14 +222,14 @@ def bench_sop():
     idc_np = float(np.asarray(opu.id_coeff))
     dims_np = opu.dims
 
-    def np_apply(xt):
-        y = idc_np * xt
+    def np_apply(xt, fdtype=np.float64):
+        y = np.asarray(idc_np, fdtype) * xt
         for modes, facs in groups_np:
             S_g = facs[0].shape[0]
             xb = np.broadcast_to(xt, (S_g,) + dims_np)
             for mode, f in zip(modes, facs):
                 xb = np.moveaxis(xb, mode + 1, -1)
-                xb = np.einsum("sij,s...j->s...i", f, xb)
+                xb = np.einsum("sij,s...j->s...i", f.astype(fdtype), xb)
                 xb = np.moveaxis(xb, -1, mode + 1)
             y = y + xb.sum(axis=0)
         return y
@@ -241,8 +241,8 @@ def bench_sop():
     # beyond the intrinsic f32 floor, against the f64 host oracle.
     y32 = np.asarray(op.matvec(x))
     y64 = np_apply(np.asarray(x_np, np.float64).reshape(dims_np)).reshape(-1)
-    y32h = np_apply(np.asarray(x_np, np.float32).reshape(dims_np)
-                    .astype(np.float32)).reshape(-1)
+    y32h = np_apply(np.asarray(x_np, np.float32).reshape(dims_np),
+                    fdtype=np.float32).reshape(-1)
     err_fused = np.max(np.abs(y32 - y64))
     err_f32 = np.max(np.abs(y32h.astype(np.float64) - y64))
     assert err_fused < 3 * err_f32 + 1e-10, \
