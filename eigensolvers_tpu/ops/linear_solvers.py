@@ -522,10 +522,11 @@ def _splitc_batch_jit(op, bs, sig_re, sig_im, x0s, rtol, atol, gf_sign,
                 f"unknown preconditioner {precond!r}; available: jacobi")
         # rhs = J [b; 0] = [b; 0]; solution u = [Re x, Im x].  The inner
         # system is always the +1-signed (sigma*I - H); a caller warm start
-        # guesses the gf_sign-signed solution, so flip it to match.
+        # guesses the gf_sign-signed solution, so flip it to match (x0 is
+        # the full split guess [Re x0; Im x0], length 2n).
         rhs = jnp.concatenate([b, jnp.zeros_like(b)])
         res = _minres_fixed(_jsym_block_matvec(op, a, bi, n), rhs,
-                            jnp.concatenate([gf_sign * x0, jnp.zeros_like(x0)]),
+                            gf_sign * x0,
                             rtol, atol, maxiter, psolve=psolve)
         x = gf_sign * res.x
         return SolveResult(x.reshape(2, n), res.resnorm, res.iterations,
@@ -539,16 +540,24 @@ def gmres_splitc_batch(op, bs_real, sigmas, x0s=None, rtol=1e-4, atol=0.0,
     """Batched complex-shifted solves of a REAL symmetric operator without
     any complex dtype on device (J-symmetrized real-block MINRES; see module
     comment above).  ``bs_real`` (nlanes, n) real right-hand sides;
-    ``sigmas`` complex.  Returns SolveResult with x of shape (nlanes, 2, n)
-    = (Re x, Im x).  ``restart`` is accepted for signature parity and
-    ignored (MINRES is a short recurrence)."""
+    ``sigmas`` complex.  ``x0s`` warm starts: real (nlanes, n) (imaginary
+    half seeded zero) or full split guesses (nlanes, 2, n) / (nlanes, 2n).
+    Returns SolveResult with x of shape (nlanes, 2, n) = (Re x, Im x).
+    ``restart`` is accepted for signature parity and ignored (MINRES is a
+    short recurrence)."""
     bs_real = jnp.asarray(bs_real)
     nl, n = bs_real.shape
     sig = np.asarray(sigmas, np.complex128)
     rdtype = bs_real.dtype
-    X0 = jnp.zeros_like(bs_real) if x0s is None else \
-        jnp.asarray(x0s).reshape(nl, n)
+    if x0s is None:
+        X0 = jnp.zeros((nl, 2 * n), rdtype)
+    else:
+        X0 = jnp.asarray(x0s)
+        if X0.ndim == 2 and X0.shape[1] == n:    # real guess, zero imag half
+            X0 = jnp.concatenate([X0, jnp.zeros_like(X0)], axis=1)
+        else:
+            X0 = X0.reshape(nl, 2 * n)
     return _splitc_batch_jit(
         op, bs_real, jnp.asarray(sig.real, rdtype),
-        jnp.asarray(sig.imag, rdtype), X0, rtol, atol,
+        jnp.asarray(sig.imag, rdtype), X0.astype(rdtype), rtol, atol,
         -1.0 if reverseGF else 1.0, maxiter, precond=precond)

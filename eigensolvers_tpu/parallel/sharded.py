@@ -102,7 +102,7 @@ class ShardedVector(JaxVector):
         return {"kind": np.asarray("sharded"), "array": np.asarray(self.array)}
 
     @classmethod
-    def _place_batch(cls, B, ref: "ShardedVector"):
+    def _place_batch(cls, B, ref: "ShardedVector", state_axis: int = 1):
         """Distribute a stacked (nlanes, n) solve batch P("b", "x"): lanes
         split over the mesh's "b" axis (FEAST quadrature×subspace lanes,
         block-Lanczos blocks — the reference's "prime batching target",
@@ -112,7 +112,13 @@ class ShardedVector(JaxVector):
         mesh = getattr(ref, "mesh", None)
         if mesh is None or "b" not in mesh.shape:
             return B
-        return jax.device_put(B, batched_vector_sharding(mesh, B.ndim - 1))
+        if state_axis == 1:
+            return jax.device_put(B, batched_vector_sharding(mesh,
+                                                             B.ndim - 1))
+        # split-complex (nlanes, 2, n) stacks: state dim is the LAST axis
+        spec = [None] * B.ndim
+        spec[0], spec[state_axis] = "b", "x"
+        return jax.device_put(B, NamedSharding(mesh, P(*spec)))
 
     @classmethod
     def _batch_lane_pad(cls, nlanes: int, ref: "ShardedVector") -> int:

@@ -126,8 +126,38 @@ def _use_split_complex(A, Y):
     return True
 
 
+def _ritz_warm_starts(Y, zs, ritz_ev, split: bool):
+    """Warm starts for the FEAST lane stack from the previous iteration's
+    Ritz values: x0_{k,i} = Y[i] / (z_k - ev_i) — the exact solution of
+    (z_k I - A) x = Y[i] when Y[i] IS the eigenvector with eigenvalue ev_i,
+    so in later FEAST iterations (Y[i] nearly converged) the guess is nearly
+    exact and the MINRES iteration count collapses.  Returns a raw
+    (nk*m0, 2, n) split stack or an (nk*m0, n) complex stack."""
+    m0 = len(Y)
+    ev = np.asarray(ritz_ev, np.complex128)
+    if len(ev) != m0 or not np.all(np.isfinite(ev)):
+        return None
+    d = np.asarray(zs)[:, None] - ev[None, :]            # (nk, m0)
+    # a real contour node can sit on a Ritz value: zero that lane's guess
+    # instead of dividing by ~0
+    c = np.zeros_like(d)
+    mask = np.abs(d) > 1e-12
+    c[mask] = 1.0 / d[mask]
+    c = c.reshape(-1)                                    # lane (k, i) order
+    import jax.numpy as jnp
+    Yarr = jnp.stack([y.array.ravel() for y in Y])       # (m0, n)
+    Yt = jnp.tile(Yarr, (len(zs), 1))                    # (nk*m0, n)
+    if split:
+        cre = jnp.asarray(c.real, Yt.dtype)[:, None]
+        cim = jnp.asarray(c.imag, Yt.dtype)[:, None]
+        return jnp.stack([Yt * cre, Yt * cim], axis=1)   # (nl, 2, n)
+    return Yt.astype(np.result_type(Yt.dtype, c.dtype)) * \
+        jnp.asarray(c)[:, None]
+
+
 def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
-                               contourEllipseFactor):
+                               contourEllipseFactor, ritz_ev=None,
+                               report=None):
     """Apply the rational filter to all m0 subspace vectors with ALL
     (node, vector) solves in one batched call, and the weighted quadrature
     accumulation as one fused contraction.  Exact-addition path."""
@@ -142,12 +172,31 @@ def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
         contourEllipseFactor * math.cos(thetas[k])
         + math.sin(thetas[k]) * 1j) for k in range(nk)])
 
+    # A warm-started solve exits with its residual right at the tolerance
+    # ceiling, and in the SAME direction for every contour node (no
+    # cross-node error cancellation in the quadrature sum) — so warm solves
+    # run 10x tighter.  From a near-exact guess the extra digit costs a few
+    # iterations; accuracy lands at or below the cold-start floor (measured:
+    # cold 3.6e-5 / naive warm 1.6e-4 / tightened warm <= cold on the
+    # 100x100 [160,166] window).
+    WARM_RTOL_SCALE = 0.1
+
     if _use_split_complex(A, Y):
-        sols = typeClass.solveBatchSplit(A, bs, sigmas)
+        x0s = None if ritz_ev is None else \
+            _ritz_warm_starts(Y, zs, ritz_ev, split=True)
+        sols = typeClass.solveBatchSplit(
+            A, bs, sigmas, x0s=x0s,
+            rtol_scale=WARM_RTOL_SCALE if x0s is not None else 1.0,
+            report=report)
         return typeClass._accumulate_quadrature_split(sols, mults, m0,
                                                       Y[0].options)
 
-    sols = typeClass.solveBatch(A, bs, sigmas, opType="gen")
+    x0s = None if ritz_ev is None else \
+        _ritz_warm_starts(Y, zs, ritz_ev, split=False)
+    sols = typeClass.solveBatch(
+        A, bs, sigmas, x0s=x0s, opType="gen",
+        rtol_scale=WARM_RTOL_SCALE if x0s is not None else 1.0,
+        report=report)
 
     fused = getattr(typeClass, "_accumulate_quadrature", None)
     if fused is not None:
@@ -168,7 +217,8 @@ def feastDiagonalization(A, Y: List[AbstractVector],
                          convertUnit="au", outFileName=None,
                          summaryFileName=None,
                          status=None,
-                         batchQuadratureSolves=True):
+                         batchQuadratureSolves=True,
+                         warmStartSolves=True):
     """FEAST diagonalization of the Hermitian operator ``A`` inside
     [eMin, eMax] (parity: reference feast.py:126-244).
 
@@ -188,6 +238,10 @@ def feastDiagonalization(A, Y: List[AbstractVector],
     batchQuadratureSolves : solve all nc/2 × m0 systems as one batched device
         computation (exact-addition backends only; compressed backends use the
         sequential 2-solve path)
+    warmStartSolves : at outer iterations ≥ 1, seed each (node k, vector i)
+        solve with the Ritz approximation Y[i]/(z_k - ev_i) from the previous
+        Rayleigh-Ritz step (near-exact once Y[i] converges; batched paths
+        only)
 
     Returns
     -------
@@ -218,8 +272,14 @@ def feastDiagonalization(A, Y: List[AbstractVector],
         with timer.phase("quadrature_solves"):
             if use_batch:
                 status["quadrature"] = len(gk) - 1
+                report = {}
                 Q = _filtered_subspace_batched(
-                    A, Y, gk, wk, thetas, zs, eRadius, contourEllipseFactor)
+                    A, Y, gk, wk, thetas, zs, eRadius, contourEllipseFactor,
+                    ritz_ev=ref_ev if warmStartSolves else None,
+                    report=report)
+                status["solverIterations"] = \
+                    status.get("solverIterations", 0) + \
+                    report.get("iterations", 0)
             else:
                 Q = [np.nan for _ in range(N_SUBSPACE)]
                 for k in range(len(gk)):

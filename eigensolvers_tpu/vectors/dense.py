@@ -76,6 +76,12 @@ def _lincomb_kernel(V, coeffs):
 
 
 @jax.jit
+def _lincomb_batch_kernel(V, C):
+    # V (m, n) basis stack, C (m, k) coefficients -> (k, n) combined stack
+    return C.T @ V
+
+
+@jax.jit
 def _norm_kernel(x):
     return jnp.linalg.norm(x.ravel())
 
@@ -264,11 +270,12 @@ class JaxVector(AbstractVector):
 
     # -- stacked-basis helpers ----------------------------------------------
     @classmethod
-    def _place_batch(cls, B, ref: "JaxVector"):
+    def _place_batch(cls, B, ref: "JaxVector", state_axis: int = 1):
         """Placement hook for a stacked (nlanes, n) solve batch.  The dense
         backend leaves it where it is; the sharded backend distributes lanes
         over the mesh's "b" axis (solve-batch parallelism, SURVEY.md §2.4
-        item 2)."""
+        item 2).  ``state_axis`` names the axis carrying the state dimension
+        (2 for split-complex (nlanes, 2, n) stacks)."""
         return B
 
     @classmethod
@@ -296,6 +303,22 @@ class JaxVector(AbstractVector):
         c = jnp.asarray(coeffs, dtype=np.result_type(V.dtype, np.asarray(coeffs).dtype))
         out = _lincomb_kernel(V.astype(c.dtype), c)
         return cls(out.reshape(vectors[0].array.shape), vectors[0].options)
+
+    @classmethod
+    def linearCombinationBatch(cls, vectors: List["JaxVector"],
+                               coeffs) -> List["JaxVector"]:
+        """All k combinations of an (m, k) coefficient matrix in ONE device
+        matmul (MXU) instead of k separate kernel dispatches — the fast path
+        under basisTransformation's 2-D case (FEAST's per-iteration subspace
+        rotation, reference feast.py:215)."""
+        coeffs = np.asarray(coeffs)
+        assert coeffs.ndim == 2 and len(vectors) == coeffs.shape[0]
+        V = cls._stack(vectors)
+        C = jnp.asarray(coeffs, dtype=np.result_type(V.dtype, coeffs.dtype))
+        out = _lincomb_batch_kernel(V.astype(C.dtype), C)
+        shape = vectors[0].array.shape
+        return [cls(out[j].reshape(shape), vectors[0].options)
+                for j in range(out.shape[0])]
 
     @classmethod
     def orthogonalize(cls, xs: List["JaxVector"],
@@ -396,11 +419,16 @@ class JaxVector(AbstractVector):
 
     @classmethod
     def solveBatchSplit(cls, H, bs: List["JaxVector"], sigmas, x0s=None,
-                        reverseGF: bool = False):
+                        reverseGF: bool = False, rtol_scale: float = 1.0,
+                        report: Optional[dict] = None):
         """Batched complex-shifted solves of a REAL operator without any
         complex dtype on device (split-complex 2x2 real-block GMRES; the
-        TPU-native path for FEAST contour shifts).  Returns vectors whose
-        array is (2, n) = (Re x, Im x)."""
+        TPU-native path for FEAST contour shifts).  ``x0s`` warm starts: a
+        list of vectors with real (n,) arrays, or a raw (nlanes, 2, n)
+        split-guess stack (Re, Im — e.g. FEAST's Ritz warm starts).
+        A caller-passed ``report`` dict accumulates "iterations" (summed
+        matvec-level counts over all lanes) for observability.
+        Returns vectors whose array is (2, n) = (Re x, Im x)."""
         opts = bs[0].options["linearSystemArgs"]
         chunk = opts.get("batchChunk")
         if chunk and len(bs) > chunk:
@@ -411,13 +439,19 @@ class JaxVector(AbstractVector):
                 out.extend(cls.solveBatchSplit(
                     H, bs[i:i + chunk], sigmas[i:i + chunk],
                     x0s=None if x0s is None else x0s[i:i + chunk],
-                    reverseGF=reverseGF))
+                    reverseGF=reverseGF, rtol_scale=rtol_scale,
+                    report=report))
             return out
         op = cls._as_operator(H, bs[0])
         nl = len(bs)
         B = jnp.stack([b.array.ravel() for b in bs])
         assert not jnp.iscomplexobj(B), "split solves need real RHS"
-        X0 = None if x0s is None else jnp.stack([x.array for x in x0s])
+        if x0s is None:
+            X0 = None
+        elif isinstance(x0s, (list, tuple)):
+            X0 = jnp.stack([x.array for x in x0s])
+        else:
+            X0 = jnp.asarray(x0s)
         sig = list(sigmas)
         pad = cls._batch_lane_pad(nl, bs[0])
         if pad:
@@ -427,14 +461,20 @@ class JaxVector(AbstractVector):
                 X0 = jnp.concatenate(
                     [X0, jnp.zeros((pad,) + X0.shape[1:], X0.dtype)])
         B = cls._place_batch(B, bs[0])
-        X0 = None if X0 is None else cls._place_batch(X0, bs[0])
+        if X0 is not None:
+            X0 = cls._place_batch(X0, bs[0],
+                                  state_axis=2 if X0.ndim == 3 else 1)
         res = ls.gmres_splitc_batch(
             op, B, sig, x0s=X0,
-            rtol=opts["linear_tol"], atol=opts["linear_atol"],
+            rtol=opts["linear_tol"] * rtol_scale,
+            atol=opts["linear_atol"] * rtol_scale,
             restart=opts["gmresRestart"], maxiter=opts["linearIter"],
             reverseGF=reverseGF, precond=opts.get("preconditioner"))
         conv_a, resn_a, its_a = jax.device_get(
             (res.converged, res.resnorm, res.iterations))
+        if report is not None:
+            report["iterations"] = report.get("iterations", 0) + \
+                int(np.sum(its_a[:nl]))
         for k, ok in enumerate(conv_a[:nl]):
             if not bool(ok):
                 msg = (f"Batched split solver lane {k} did not converge: "
@@ -568,13 +608,15 @@ class JaxVector(AbstractVector):
 
     @classmethod
     def solveBatch(cls, H, bs: List["JaxVector"], sigmas, x0s=None,
-                   opType: str = "her", reverseGF: bool = False):
+                   opType: str = "her", reverseGF: bool = False,
+                   rtol_scale: float = 1.0, report: Optional[dict] = None):
         """Batched shifted solves — one vmapped device computation for all
         (sigma_k, b_k) pairs (block Lanczos / FEAST batching,
         SURVEY.md §2.4 item 2).  Under a ("b", "x") mesh the lanes distribute
         over the "b" axis (see :meth:`_place_batch`);
         ``linearSystemArgs["batchChunk"]`` bounds the number of simultaneous
-        lanes for memory control."""
+        lanes for memory control.  A caller-passed ``report`` dict
+        accumulates "iterations" (summed over lanes)."""
         solver, opts = cls._solve_opts(bs[0], np.asarray(sigmas), opType)
         chunk = opts.get("batchChunk")
         if chunk and len(bs) > chunk:
@@ -583,15 +625,20 @@ class JaxVector(AbstractVector):
                 out.extend(cls.solveBatch(
                     H, bs[i:i + chunk], sigmas[i:i + chunk],
                     x0s=None if x0s is None else x0s[i:i + chunk],
-                    opType=opType, reverseGF=reverseGF))
+                    opType=opType, reverseGF=reverseGF,
+                    rtol_scale=rtol_scale, report=report))
             return out
         op = cls._as_operator(H, bs[0])
         sig = np.asarray(sigmas)
         dtype = cls._solve_dtype(op, sig, *[b.dtype for b in bs])
         nl = len(bs)
         B = jnp.stack([b.array.ravel().astype(dtype) for b in bs])
-        X0 = None if x0s is None else \
-            jnp.stack([x.array.ravel().astype(dtype) for x in x0s])
+        if x0s is None:
+            X0 = None
+        elif isinstance(x0s, (list, tuple)):
+            X0 = jnp.stack([x.array.ravel().astype(dtype) for x in x0s])
+        else:                       # raw (nlanes, n) warm-start stack
+            X0 = jnp.asarray(x0s).astype(dtype)
         pad = 0 if solver == "exact" else cls._batch_lane_pad(nl, bs[0])
         if pad:
             B = jnp.concatenate([B, jnp.zeros((pad,) + B.shape[1:], B.dtype)])
@@ -612,7 +659,8 @@ class JaxVector(AbstractVector):
                                 [o.iterations for o in outs])))]
         else:
             fn = ls.minres_batch if solver == "minres" else ls.gmres_batch
-            kwargs = dict(rtol=opts["linear_tol"], atol=opts["linear_atol"],
+            kwargs = dict(rtol=opts["linear_tol"] * rtol_scale,
+                          atol=opts["linear_atol"] * rtol_scale,
                           maxiter=opts["linearIter"], reverseGF=reverseGF,
                           precond=opts.get("preconditioner"))
             if solver == "gmres":
@@ -627,6 +675,8 @@ class JaxVector(AbstractVector):
             resn = [float(r) for r in resn_a[:nl]]
             its = [int(i) for i in its_a[:nl]]
 
+        if report is not None:
+            report["iterations"] = report.get("iterations", 0) + int(sum(its))
         for k, ok in enumerate(conv):
             if not ok:
                 msg = (f"Batched solver {solver} lane {k} did not converge: "

@@ -129,3 +129,63 @@ def test_feast_split_complex_matches_complex_path(problem):
         c = evC[np.argmin(np.abs(evC - t))]
         s = evS[np.argmin(np.abs(evS - t))]
         assert abs(c - s) < 1e-6, (c, s)
+
+
+def test_ritz_warm_start_cuts_solver_iterations(problem):
+    """The Ritz warm start x0 = y/(z - ev) is near-exact once y is close to
+    an eigenvector — the split-complex MINRES must converge in (strictly,
+    substantially) fewer iterations than from a zero guess."""
+    from eigensolvers_tpu.ops.linear_solvers import gmres_splitc_batch
+    from eigensolvers_tpu.ops.operators import DenseOperator
+    p = problem
+    lam = float(p["evEigh"][80])
+    v = p["uvEigh"][:, 80]
+    rng = np.random.RandomState(4)
+    # the warm start's initial residual is the EIGENRESIDUAL of y amplified
+    # by (A - lam)/(z - lam) — it pays off exactly when y is close to an
+    # eigenvector (late FEAST iterations), which is what this models
+    noise = rng.rand(len(v)) * 1e-8
+    y = v + noise
+    y /= np.linalg.norm(y)
+    z = complex(lam + 1.0, 2.0)
+    op = DenseOperator(np.asarray(p["A"]))
+
+    cold = gmres_splitc_batch(op, y[None, :], [z], rtol=1e-8, maxiter=2000)
+    c = 1.0 / (z - lam)
+    x0 = np.stack([y * c.real, y * c.imag])[None]        # (1, 2, n)
+    warm = gmres_splitc_batch(op, y[None, :], [z], x0s=x0,
+                              rtol=1e-8, maxiter=2000)
+    assert bool(np.asarray(cold.converged)[0])
+    assert bool(np.asarray(warm.converged)[0])
+    it_cold = int(np.asarray(cold.iterations)[0])
+    it_warm = int(np.asarray(warm.iterations)[0])
+    # savings are additive (the digit gap), not multiplicative:
+    # MINRES spends a shared spectral lock-in phase first
+    assert it_warm < 0.8 * it_cold, (it_warm, it_cold)
+    # both solutions solve the complex system
+    for res in (cold, warm):
+        x = np.asarray(res.x)[0]
+        xc = x[0] + 1j * x[1]
+        r = z * xc - p["A"] @ xc - y
+        assert np.linalg.norm(r) < 1e-6 * np.linalg.norm(y)
+
+
+def test_feast_warm_start_at_least_as_accurate(problem):
+    """FEAST with Ritz warm starts must find the same in-window eigenvalues
+    at an accuracy at or below the cold-start floor (the warm solves run 10x
+    tighter precisely so the warm path cannot be the less accurate one —
+    measured 1.6e-6 warm vs 3.6e-5 cold on this window)."""
+    p = problem
+
+    def run(ws):
+        ev, _, _ = feastDiagonalization(
+            p["A"], list(p["Y"]), p["nc"], "legendre", p["rmin"], p["rmax"],
+            eConv=1e-10, maxit=20, writeOut=False, warmStartSolves=ws)
+        return np.sort(np.asarray(ev))
+
+    evW, evC = run(True), run(False)
+    inside = p["evEigh"][(p["evEigh"] > p["rmin"]) & (p["evEigh"] < p["rmax"])]
+    errW = max(np.min(np.abs(evW - t)) for t in inside)
+    errC = max(np.min(np.abs(evC - t)) for t in inside)
+    assert errW < 1e-4, errW
+    assert errW <= 1.5 * errC, (errW, errC)
