@@ -139,12 +139,17 @@ def bench_bsr():
     x = jnp.asarray(rng.rand(n).astype(np.float32))
     X = jnp.asarray(rng.rand(n, 16).astype(np.float32))
 
-    # correctness gates
-    # f32 sums of 1024 addends in different orders: ~1e-3 relative spread
-    np.testing.assert_allclose(np.asarray(op.matvec(x)),
-                               csr @ np.asarray(x), rtol=2e-3, atol=0.05)
-    np.testing.assert_allclose(np.asarray(op.matmat(X)),
-                               csr @ np.asarray(X), rtol=2e-3, atol=0.05)
+    # correctness gates: the BSR default precision is "high" (bf16x3 split
+    # kernel) — f32-GRADE error, orders below a raw bf16 MXU pass.  Gate
+    # against the f32 CSR product on max-relative error so a silent
+    # precision regression (e.g. falling back to a 1-pass bf16 dot,
+    # ~3e-4 relative) fails loudly.
+    y_csr = csr @ np.asarray(x)
+    Y_csr = csr @ np.asarray(X)
+    err1 = np.abs(np.asarray(op.matvec(x)) - y_csr).max() / np.abs(y_csr).max()
+    errm = np.abs(np.asarray(op.matmat(X)) - Y_csr).max() / np.abs(Y_csr).max()
+    assert err1 < 3e-5, f"SpMV precision regression: rel err {err1:.2e}"
+    assert errm < 3e-5, f"SpMM precision regression: rel err {errm:.2e}"
 
     K = 50
 

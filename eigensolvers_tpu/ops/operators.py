@@ -25,6 +25,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def resolve_precision(p):
+    """Matmul precision for f32 operator applications.  TPU MXUs multiply
+    f32 via bfloat16 passes: "default" is one pass (~1e-4..1e-3 relative
+    matvec error), "high" three (bf16x3, ~1e-5), "highest" six (true f32,
+    ~1e-7).  An eigensolver's matvec IS the operator definition — silently
+    bf16-flooring it caps every solve tolerance and eigenvalue residual —
+    so the framework default is "highest"; pass precision="default" where
+    ML-grade accuracy is acceptable and the op is MXU-bound."""
+    if p is None or isinstance(p, jax.lax.Precision):
+        return p
+    return {"default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[str(p).lower()]
+
+
 class AbstractOperator:
     """Minimal operator protocol: shape, dtype, matvec, to_dense."""
 
@@ -58,8 +73,9 @@ class AbstractOperator:
 class DenseOperator(AbstractOperator):
     """Explicit dense matrix operator; the workhorse for n ≲ 10^5."""
 
-    def __init__(self, mat):
+    def __init__(self, mat, precision="highest"):
         self.mat = jnp.asarray(mat)
+        self.precision = resolve_precision(precision)
         assert self.mat.ndim == 2 and self.mat.shape[0] == self.mat.shape[1], \
             f"need square matrix, got {self.mat.shape}"
 
@@ -73,10 +89,12 @@ class DenseOperator(AbstractOperator):
 
     def matvec(self, x):
         flat = x.reshape(-1)
-        # preferred_element_type keeps the MXU accumulating at (at least) the
-        # input precision.
+        # preferred_element_type keeps the MXU accumulating at (at least)
+        # the input precision; the multiply precision is the operator's
+        # (see resolve_precision — "highest" = true f32 by default).
         y = jnp.dot(self.mat, flat.astype(jnp.result_type(self.mat, flat)),
-                    preferred_element_type=jnp.result_type(self.mat, flat))
+                    preferred_element_type=jnp.result_type(self.mat, flat),
+                    precision=self.precision)
         return y.reshape(x.shape)
 
     def to_dense(self):
@@ -86,12 +104,13 @@ class DenseOperator(AbstractOperator):
         return jnp.diagonal(self.mat)
 
     def tree_flatten(self):
-        return (self.mat,), None
+        return (self.mat,), (self.precision,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.mat = children[0]
+        obj.precision = aux[0] if aux else jax.lax.Precision.HIGHEST
         return obj
 
 
@@ -147,13 +166,15 @@ class SumOfProductOperator(AbstractOperator):
     """
 
     def __init__(self, factors: Sequence, dims: Optional[Sequence[int]] = None,
-                 term_chunk: Optional[int] = None):
+                 term_chunk: Optional[int] = None, precision="highest"):
         """:param factors: list over modes d of arrays (nSum, n_d, n_d).
         :param term_chunk: if set, the matvec scans over the term axis in
             chunks of this size, bounding the batched intermediate to
             (term_chunk, n) elements.  Terms are zero-padded to a multiple of
-            the chunk size at construction (zero terms contribute nothing)."""
+            the chunk size at construction (zero terms contribute nothing).
+        :param precision: matmul precision (see :func:`resolve_precision`)."""
         self.factors = [jnp.asarray(f) for f in factors]
+        self.precision = resolve_precision(precision)
         assert len(self.factors) >= 1
         nSum = self.factors[0].shape[0]
         for f in self.factors:
@@ -212,15 +233,15 @@ class SumOfProductOperator(AbstractOperator):
     def dtype(self):
         return jnp.result_type(*self.factors)
 
-    @staticmethod
-    def _apply_term_batch(factor_batch, xt, dims):
+    def _apply_term_batch(self, factor_batch, xt, dims):
         """Apply a batch of product terms to x: (S, n_d, n_d) per mode,
         x reshaped to dims → (S, *dims) then summed over the term axis."""
         xb = jnp.broadcast_to(xt, (factor_batch[0].shape[0],) + dims)
         for d, f in enumerate(factor_batch):
             xb = jnp.moveaxis(xb, d + 1, -1)
             xb = jnp.einsum("sij,s...j->s...i", f, xb,
-                            preferred_element_type=jnp.result_type(f, xb))
+                            preferred_element_type=jnp.result_type(f, xb),
+                            precision=self.precision)
             xb = jnp.moveaxis(xb, -1, d + 1)
         return xb.sum(axis=0)
 
@@ -262,13 +283,15 @@ class SumOfProductOperator(AbstractOperator):
         return jnp.asarray(out)
 
     def tree_flatten(self):
-        return tuple(self.factors), (self.term_chunk, self._true_nSum)
+        return tuple(self.factors), (self.term_chunk, self._true_nSum,
+                                     self.precision)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.factors = list(children)
-        obj.term_chunk, obj._true_nSum = aux
+        obj.term_chunk, obj._true_nSum = aux[0], aux[1]
+        obj.precision = aux[2] if len(aux) > 2 else jax.lax.Precision.HIGHEST
         return obj
 
 
@@ -287,14 +310,17 @@ class GroupedSoPOperator(AbstractOperator):
     form for consumers that need it (MPO construction, sharding helpers).
     """
 
-    def __init__(self, dims: Sequence[int], groups, id_coeff=0.0):
+    def __init__(self, dims: Sequence[int], groups, id_coeff=0.0,
+                 precision="highest"):
         """:param groups: list of (modes tuple, [per-active-mode arrays
         (S_g, n_d, n_d)]); :param id_coeff: summed coefficient of the pure
-        identity terms."""
+        identity terms; :param precision: matmul precision
+        (see :func:`resolve_precision`)."""
         self._dims = tuple(int(d) for d in dims)
         self.groups = [(tuple(m), [jnp.asarray(f) for f in facs])
                        for m, facs in groups]
         self.id_coeff = jnp.asarray(id_coeff)
+        self.precision = resolve_precision(precision)
 
     @classmethod
     def from_terms(cls, nDim: int, dims: Sequence[int], terms, dtype=None):
@@ -377,7 +403,8 @@ class GroupedSoPOperator(AbstractOperator):
             for mode, f in zip(modes, facs):
                 xb = jnp.moveaxis(xb, mode + 1, -1)
                 xb = jnp.einsum("sij,s...j->s...i", f, xb,
-                                preferred_element_type=jnp.result_type(f, xb))
+                                preferred_element_type=jnp.result_type(f, xb),
+                                precision=self.precision)
                 xb = jnp.moveaxis(xb, -1, mode + 1)
             y = y + xb.sum(axis=0)
         return y.reshape(x.shape)
@@ -421,13 +448,15 @@ class GroupedSoPOperator(AbstractOperator):
     def tree_flatten(self):
         children = [self.id_coeff] + [f for _, facs in self.groups
                                       for f in facs]
-        aux = (self._dims, tuple((m, len(facs)) for m, facs in self.groups))
+        aux = (self._dims, tuple((m, len(facs)) for m, facs in self.groups),
+               self.precision)
         return tuple(children), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj._dims, meta = aux
+        obj._dims, meta = aux[0], aux[1]
+        obj.precision = aux[2] if len(aux) > 2 else jax.lax.Precision.HIGHEST
         obj.id_coeff = children[0]
         rest = list(children[1:])
         groups = []

@@ -154,7 +154,8 @@ def shard_operator(H, mesh: Mesh) -> AbstractOperator:
     if isinstance(op, SumOfProductOperator):
         rep = NamedSharding(mesh, P())
         factors = [jax.device_put(f, rep) for f in op.factors]
-        new = SumOfProductOperator(factors, term_chunk=None)
+        new = SumOfProductOperator(factors, term_chunk=None,
+                                   precision=op.precision)
         new.term_chunk = op.term_chunk
         new._true_nSum = op._true_nSum
         return new
@@ -163,5 +164,6 @@ def shard_operator(H, mesh: Mesh) -> AbstractOperator:
         groups = [(m, [jax.device_put(f, rep) for f in facs])
                   for m, facs in op.groups]
         return GroupedSoPOperator(op.dims, groups,
-                                  id_coeff=jax.device_put(op.id_coeff, rep))
+                                  id_coeff=jax.device_put(op.id_coeff, rep),
+                                  precision=op.precision)
     return op

@@ -178,23 +178,45 @@ def _dmrg_one_state(mpo_tensors, dims, x0, lower_states, maxD, eps,
         size = int(np.prod(shape))
         Lk, Rk = Lop[k], Rop[k + 1]
 
-        # deflation vectors in the local two-site basis
-        defl = []
+        # deflation: orthonormal basis D of the lower states in the local
+        # two-site basis, applied as a HARD projection P = I - D D^H —
+        # the local operator becomes P H_eff P + PENALTY (I - P), whose
+        # deflated directions are exact eigendirections at PENALTY, so the
+        # local ground state is exactly orthogonal to them (the soft
+        # penalty H_eff + PENALTY*D D^H of round 1 only suppressed them)
+        dvs = []
         for s, Lp, Rp in penv:
             v = _local_rhs(Lp[k], s[k], s[k + 1], Rp[k + 1]).ravel()
             nv = np.linalg.norm(v)
             if nv > 1e-14:
-                defl.append(v / nv)
+                dvs.append(v / nv)
+        D = None
+        if dvs:
+            Q, R = np.linalg.qr(np.column_stack(dvs))
+            keep = np.abs(np.diag(R)) > 1e-12
+            D = Q[:, keep] if keep.any() else None
+
+        def project(vflat):
+            return vflat - D @ (D.conj().T @ vflat)
+
+        if D is not None:
+            t0 = project(theta0.ravel())
+            nt = np.linalg.norm(t0)
+            if nt < 1e-12:      # start lies inside the deflated space
+                rng_loc = np.random.RandomState(k)
+                t0 = project(rng_loc.standard_normal(size).astype(dtype))
+                nt = np.linalg.norm(t0)
+            theta0 = (t0 / nt).reshape(shape) * np.linalg.norm(theta0)
 
         def mv(vflat):
-            v = vflat.reshape(shape)
+            v = (project(vflat) if D is not None else vflat).reshape(shape)
             t = np.tensordot(Lk, v, axes=([2], [0]))
             t = np.tensordot(t, W[k], axes=([1, 2], [0, 2]))
             t = np.tensordot(t, W[k + 1], axes=([4, 1], [0, 2]))
             t = np.tensordot(t, Rk, axes=([4, 1], [1, 2]))
             out = t.ravel()
-            for d in defl:
-                out = out + PENALTY * d * np.vdot(d, vflat)
+            if D is not None:
+                out = project(out) + PENALTY * (vflat - project(vflat))
             return out
 
         A = spla.LinearOperator((size, size), matvec=mv, dtype=dtype)

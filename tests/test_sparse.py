@@ -157,3 +157,53 @@ def test_banded_operator():
     evL, _, _ = inexactLanczosDiagonalization(op, Y0, target, 12, 6, 1e-8,
                                               writeOut=False)
     assert abs(find_nearest(evL, target)[1] - evE[6]) <= 1e-6
+
+
+def test_split_kernel_interpret_f32_grade():
+    """The bf16x3 ("high" precision) Pallas kernel must reproduce the f32
+    matvec to f32-grade accuracy (error comparable to host-f32 arithmetic,
+    NOT the ~1e-4 of a single bf16 pass) — validated in interpreter mode."""
+    import jax.numpy as jnp
+    from eigensolvers_tpu.ops.sparse import _bsr_matvec_pallas_split
+    rng = np.random.RandomState(3)
+    nrb, nbpr, B = 4, 3, 128
+    data = rng.standard_normal((nrb, nbpr, B, B)).astype(np.float32)
+    idx = rng.randint(0, nrb, (nrb, nbpr)).astype(np.int32)
+    x = rng.standard_normal(nrb * B).astype(np.float32)
+    dT = np.swapaxes(data, 2, 3)
+    hiT = jnp.asarray(dT).astype(jnp.bfloat16)
+    loT = (jnp.asarray(dT) - hiT.astype(jnp.float32)).astype(jnp.bfloat16)
+    y = np.asarray(_bsr_matvec_pallas_split(hiT, loT, jnp.asarray(idx),
+                                            jnp.asarray(x), interpret=True))
+    # f64 oracle + f32 host floor
+    y64 = np.zeros(nrb * B)
+    x64 = x.astype(np.float64)
+    for r in range(nrb):
+        for t in range(nbpr):
+            c = idx[r, t]
+            y64[r*B:(r+1)*B] += data[r, t].astype(np.float64) @ x64[c*B:(c+1)*B]
+    sc = np.abs(y64).max()
+    err = np.abs(y - y64).max() / sc
+    assert err < 1e-5, err
+
+
+def test_bsr_precision_option_roundtrip():
+    """precision is part of the operator's static (aux) data: it must
+    survive pytree flatten/unflatten (jit closures) and change the
+    dispatch."""
+    import jax
+    H = _banded(256, bw=3, seed=2)
+    for prec in ("default", "high", "highest"):
+        op = BSROperator.from_dense(H.astype(np.float32), block_size=128,
+                                    use_pallas=False, precision=prec)
+        leaves, treedef = jax.tree_util.tree_flatten(op)
+        op2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert op2.precision == op.precision
+        x = np.random.RandomState(0).rand(256).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(op2.matvec(x)),
+                                   H.astype(np.float32) @ x, rtol=2e-4,
+                                   atol=1e-3)
+        if prec == "high":
+            assert op.dataT_hi is not None and op.dataT_lo is not None
+        else:
+            assert op.dataT_hi is None
