@@ -155,9 +155,41 @@ def _ritz_warm_starts(Y, zs, ritz_ev, split: bool):
         jnp.asarray(c)[:, None]
 
 
+#: warm solves run at least one digit tighter than the configured tolerance
+#: (see _warm_rtol_scale)
+WARM_RTOL_SCALE = 0.1
+
+
+def _warm_rtol_scale(Y, residual, eConv):
+    """Adaptive solve-tolerance scale for warm-started FEAST iterations.
+
+    Two effects demand tighter-than-configured warm solves: (1) a
+    warm-started solve exits with its residual right at the tolerance
+    ceiling, in the SAME direction at every contour node (no cross-node
+    error cancellation in the quadrature sum); (2) warm starts CORRELATE
+    the solve errors of successive outer iterations, so the eigenvalue
+    self-consistency residual under-reports the true error — left alone,
+    FEAST declares eConv while the answer is stuck at the solve floor
+    (caught by the bench oracle: declared 1e-6, true error 2.3e-4).
+
+    The fix is the inexact-FEAST schedule: solve each iteration to
+    ~(previous residual)/10, bounded above by WARM_RTOL_SCALE x the
+    configured tolerance.  As the residual estimator falls, the solves
+    tighten with it, so the true error is dragged down alongside the
+    estimate and cannot stall above eConv; the near-exact warm starts are
+    what make the ever-deeper solves affordable (each outer iteration only
+    pays for the NEW digit)."""
+    if residual is None:
+        return WARM_RTOL_SCALE
+    lin_tol = Y[0].options.get("linearSystemArgs", {}).get("linear_tol", 1e-4)
+    target = max(float(residual), float(eConv)) * 0.1
+    return float(np.clip(target / max(lin_tol, 1e-300), 1e-6,
+                         WARM_RTOL_SCALE))
+
+
 def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
                                contourEllipseFactor, ritz_ev=None,
-                               report=None):
+                               report=None, warm_scale=WARM_RTOL_SCALE):
     """Apply the rational filter to all m0 subspace vectors with ALL
     (node, vector) solves in one batched call, and the weighted quadrature
     accumulation as one fused contraction.  Exact-addition path."""
@@ -172,21 +204,12 @@ def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
         contourEllipseFactor * math.cos(thetas[k])
         + math.sin(thetas[k]) * 1j) for k in range(nk)])
 
-    # A warm-started solve exits with its residual right at the tolerance
-    # ceiling, and in the SAME direction for every contour node (no
-    # cross-node error cancellation in the quadrature sum) — so warm solves
-    # run 10x tighter.  From a near-exact guess the extra digit costs a few
-    # iterations; accuracy lands at or below the cold-start floor (measured:
-    # cold 3.6e-5 / naive warm 1.6e-4 / tightened warm <= cold on the
-    # 100x100 [160,166] window).
-    WARM_RTOL_SCALE = 0.1
-
     if _use_split_complex(A, Y):
         x0s = None if ritz_ev is None else \
             _ritz_warm_starts(Y, zs, ritz_ev, split=True)
         sols = typeClass.solveBatchSplit(
             A, bs, sigmas, x0s=x0s,
-            rtol_scale=WARM_RTOL_SCALE if x0s is not None else 1.0,
+            rtol_scale=warm_scale if x0s is not None else 1.0,
             report=report)
         return typeClass._accumulate_quadrature_split(sols, mults, m0,
                                                       Y[0].options)
@@ -195,7 +218,7 @@ def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
         _ritz_warm_starts(Y, zs, ritz_ev, split=False)
     sols = typeClass.solveBatch(
         A, bs, sigmas, x0s=x0s, opType="gen",
-        rtol_scale=WARM_RTOL_SCALE if x0s is not None else 1.0,
+        rtol_scale=warm_scale if x0s is not None else 1.0,
         report=report)
 
     fused = getattr(typeClass, "_accumulate_quadrature", None)
@@ -218,7 +241,7 @@ def feastDiagonalization(A, Y: List[AbstractVector],
                          summaryFileName=None,
                          status=None,
                          batchQuadratureSolves=True,
-                         warmStartSolves=True):
+                         warmStartSolves=None):
     """FEAST diagonalization of the Hermitian operator ``A`` inside
     [eMin, eMax] (parity: reference feast.py:126-244).
 
@@ -241,7 +264,18 @@ def feastDiagonalization(A, Y: List[AbstractVector],
     warmStartSolves : at outer iterations ≥ 1, seed each (node k, vector i)
         solve with the Ritz approximation Y[i]/(z_k - ev_i) from the previous
         Rayleigh-Ritz step (near-exact once Y[i] converges; batched paths
-        only)
+        only), and tighten the solve tolerance adaptively to ~residual/10
+        (inexact-FEAST schedule — see :func:`_warm_rtol_scale`; warm starts
+        make the ever-deeper solves affordable).  Default None = AUTO:
+        enabled for f64 states, disabled for f32.  Measured: at f64 warm
+        starts are both ~1.6x faster and ~20x MORE accurate (the adaptive
+        tightening); at f32 they make the outer iteration a deterministic
+        fixed point whose error freezes at the solver's attainable floor
+        (eps*kappa at the near-real contour nodes) while the
+        self-consistency estimator sees zero change — measured 2.3e-4 true
+        error at a declared 1e-6 residual vs 1.5e-6 cold (cold solves
+        re-roll their noise every iteration, which Rayleigh-Ritz averages
+        down).  Set True explicitly for f32 speed when eConv is coarse.
 
     Returns
     -------
@@ -251,6 +285,15 @@ def feastDiagonalization(A, Y: List[AbstractVector],
     N_SUBSPACE = len(Y)
     assert eMax > eMin
     eRadius = (eMax - eMin) * 0.5
+
+    if warmStartSolves is None:
+        # auto (see parameter doc): warm starts only when the dtype's solve
+        # floor is far below the requested tolerances
+        try:
+            warmStartSolves = bool(
+                np.finfo(np.dtype(Y[0].dtype).type).eps <= 1e-12)
+        except Exception:
+            warmStartSolves = False
 
     gk, wk, thetas, zs = _contour(eMin, eMax, nc, quad, contourEllipseFactor)
 
@@ -276,7 +319,9 @@ def feastDiagonalization(A, Y: List[AbstractVector],
                 Q = _filtered_subspace_batched(
                     A, Y, gk, wk, thetas, zs, eRadius, contourEllipseFactor,
                     ritz_ev=ref_ev if warmStartSolves else None,
-                    report=report)
+                    report=report,
+                    warm_scale=_warm_rtol_scale(Y, status.get("residual"),
+                                                eConv))
                 status["solverIterations"] = \
                     status.get("solverIterations", 0) + \
                     report.get("iterations", 0)

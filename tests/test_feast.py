@@ -185,6 +185,11 @@ def test_feast_warm_start_at_least_as_accurate(problem):
 
     evW, evC = run(True), run(False)
     inside = p["evEigh"][(p["evEigh"] > p["rmin"]) & (p["evEigh"] < p["rmax"])]
+    # observability: batched-path runs surface total inner-solver iterations
+    _, _, st = feastDiagonalization(
+        p["A"], list(p["Y"]), p["nc"], "legendre", p["rmin"], p["rmax"],
+        eConv=1e-10, maxit=2, writeOut=False)
+    assert st.get("solverIterations", 0) > 0
     errW = max(np.min(np.abs(evW - t)) for t in inside)
     errC = max(np.min(np.abs(evC - t)) for t in inside)
     assert errW < 1e-4, errW
