@@ -24,6 +24,8 @@ from __future__ import annotations
 from abc import ABC, abstractmethod
 from typing import List, Optional, Sequence
 
+import numpy as np
+
 # Threshold below which a squared norm counts as linearly dependent
 # (reference: abstractVector.py:12).  Requires float64.
 LINDEP_DEFAULT_VALUE = 1e-14
@@ -157,7 +159,8 @@ class AbstractVector(ABC):
 
     @classmethod
     def solveBatch(cls, H, bs: List["AbstractVector"], sigmas, x0s=None,
-                   opType: str = "her", reverseGF: bool = False):
+                   opType: str = "her", reverseGF: bool = False,
+                   rtol_scale: float = 1.0, report=None):
         """Solve a batch of shifted systems (sigmas[k]*I - H) x_k = bs[k].
 
         TPU-first extension of the contract: FEAST's quadrature×subspace loop
@@ -166,11 +169,39 @@ class AbstractVector(ABC):
         across shifts/right-hand sides; batched backends override this with a
         vmapped solver.  The default falls back to a sequential loop so every
         backend supports it.
+
+        ``rtol_scale`` tightens the configured ``linear_tol`` for this call
+        only (FEAST's warm-started inexact schedule); the fallback applies it
+        by a scoped override of the shared ``linearSystemArgs`` dict (options
+        are intentionally shared by reference — reference ttnsVector.py:114-117
+        — so the override is restored before returning).  ``report`` is the
+        batched backends' iteration-count accumulator; the sequential fallback
+        cannot see inside the backend's solver and leaves it untouched.
         """
         if x0s is None:
             x0s = [None] * len(bs)
-        return [cls.solve(H, b, s, x0=x0, opType=opType, reverseGF=reverseGF)
-                for b, s, x0 in zip(bs, sigmas, x0s)]
+        guesses = []
+        for b, x0 in zip(bs, x0s):
+            if x0 is not None and not isinstance(x0, AbstractVector):
+                # raw warm-start stack row (FEAST Ritz guesses): wrap it in
+                # the backend type if the backend is array-like
+                arr = getattr(b, "array", None)
+                x0 = cls(np.asarray(x0).reshape(arr.shape), b.options) \
+                    if arr is not None else None
+            guesses.append(x0)
+        lsa = bs[0].options.get("linearSystemArgs")
+        scaled = (rtol_scale != 1.0 and lsa is not None
+                  and "linear_tol" in lsa)
+        if scaled:
+            saved = lsa["linear_tol"]
+            lsa["linear_tol"] = saved * rtol_scale
+        try:
+            return [cls.solve(H, b, s, x0=x0, opType=opType,
+                              reverseGF=reverseGF)
+                    for b, s, x0 in zip(bs, sigmas, guesses)]
+        finally:
+            if scaled:
+                lsa["linear_tol"] = saved
 
     @staticmethod
     def matrixRepresentation(operator, vectors):

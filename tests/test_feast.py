@@ -194,3 +194,28 @@ def test_feast_warm_start_at_least_as_accurate(problem):
     errC = max(np.min(np.abs(evC - t)) for t in inside)
     assert errW < 1e-4, errW
     assert errW <= 1.5 * errC, (errW, errC)
+
+
+def test_feast_numpy_backend_warm_started_batch(problem):
+    """The reference-native backend (NumpyVector, scipy solvers) through the
+    batched quadrature path with warm starts: exercises the generic
+    AbstractVector.solveBatch fallback — including the rtol_scale scoped
+    override and raw-array Ritz warm-start wrapping (regression: the bench's
+    FEAST CPU baseline crashed on these kwargs)."""
+    from eigensolvers_tpu.vectors.numpy_backend import NumpyVector
+
+    p = problem
+    options = {"linearSystemArgs": {
+        "linearSolver": "gcrotmk", "linearIter": 2000, "linear_tol": 1e-4,
+        "linear_atol": 1e-10, "errorOnNonConvergence": False}}
+    Y = [NumpyVector(np.asarray(y.array, np.float64), options)
+         for y in p["Y"]]
+    ev, uv, status = feastDiagonalization(
+        p["A"], Y, p["nc"], "legendre", p["rmin"], p["rmax"],
+        eConv=1e-8, maxit=20, writeOut=False,
+        batchQuadratureSolves=True, warmStartSolves=True)
+    # the scoped tolerance override must be restored
+    assert options["linearSystemArgs"]["linear_tol"] == 1e-4
+    true_in = select_within_range(p["evEigh"], p["rmin"], p["rmax"])[0]
+    for target in true_in:
+        assert abs(find_nearest(ev, target)[1] - target) <= 1e-4

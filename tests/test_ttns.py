@@ -187,3 +187,42 @@ def test_chain_matches_mps():
     b = vm.applyOp(op)
     np.testing.assert_allclose(a.to_dense().ravel(),
                                np.asarray(b.to_dense()).ravel(), atol=1e-9)
+
+
+@pytest.mark.slow
+def test_feast_on_tree(topo, sop):
+    """FEAST through the tree backend: the inexact-addition quadrature path
+    (two conjugate solves per node, Polizzi eq. 12) with complex compressed-
+    Krylov solves over a branched topology — the tree analog of the
+    reference's FEAST TTNS test (reference: unittests/test_feast_ttns.py,
+    which runs FEAST on a ttns2 tree state)."""
+    from eigensolvers_tpu import feastDiagonalization, select_within_range
+
+    evE, uvE = sop["ev"], sop["uv"]
+    # window with 3 eigenvalues, away from degeneracies
+    eMin = float((evE[5] + evE[4]) / 2)
+    eMax = float((evE[7] + evE[8]) / 2)
+    true_in = select_within_range(evE, eMin, eMax)[0]
+    assert len(true_in) == 3
+
+    m0 = 5
+    opts = {"compressArgs": {"maxD": 60, "eps": 1e-12},
+            "linearSystemArgs": {"linearSolver": "bicgstab",
+                                 "linearIter": 600, "linear_tol": 1e-5,
+                                 "maxD": 60, "eps": 1e-12}}
+    Y = [TTNSVector.random(topo, DIMS, 8, opts, seed=40 + s)
+         for s in range(m0)]
+
+    ev, uv, status = feastDiagonalization(
+        sop["op"], Y, 6, "legendre", eMin, eMax, 1e-8, 12, writeOut=False)
+
+    assert status["flagAddition"] is False   # the 2-solve tree path ran
+    for target in true_in:
+        nearest = find_nearest(ev, target)[1]
+        assert abs(nearest - target) <= 1e-4, f"{target=} {nearest=}"
+    for target in true_in:
+        idxE = find_nearest(evE, target)[0]
+        idxT = find_nearest(ev, target)[0]
+        vec = np.asarray(uv[idxT].to_dense()).ravel()
+        vec = vec / np.linalg.norm(vec)
+        assert abs(np.vdot(vec, uvE[:, idxE])) > 0.999
