@@ -332,6 +332,48 @@ def bench_feast():
               "NumpyVector+exact-direct f64")
 
 
+# -- metric 4b: Chebyshev window (solve-free) ---------------------------------
+def bench_chebyshev():
+    """Same window task as metric 4, solved by the polynomial filter —
+    no linear solves, one jitted batched-matvec chain per outer iteration.
+    Shares the feast_window CPU baseline (identical task), so vs_baseline is
+    directly comparable with feast_window_wall_s."""
+    import scipy.linalg as la
+    from eigensolvers_tpu import (JaxVector, select_within_range,
+                                  as_operator,
+                                  chebyshevFilteredDiagonalization)
+
+    n, H64, ev, eMin, eMax = _feast_problem()
+    m0 = 10
+    truth = select_within_range(ev, eMin, eMax)[0]
+    rng = np.random.RandomState(3)
+    Yg = la.qr(rng.rand(n, m0), mode="economic")[0]
+    H32 = as_operator(H64.astype(np.float32))
+    bounds = (float(ev[0]) - 1.0, float(ev[-1]) + 1.0)
+
+    def run():
+        Y = [JaxVector(Yg[:, i].astype(np.float32), {}) for i in range(m0)]
+        t0 = time.perf_counter()
+        evC, _, st = chebyshevFilteredDiagonalization(
+            H32, Y, 1200, eMin, eMax, 1e-6, 30, specBounds=bounds,
+            writeOut=False)
+        dt = time.perf_counter() - t0
+        got = np.sort(select_within_range(np.asarray(evC), eMin, eMax)[0])
+        errs = [min(abs(got - t)) for t in truth] if len(got) else [9e9]
+        assert len(got) >= len(truth) and max(errs) < 1e-4, \
+            f"Chebyshev incorrect: found {len(got)}, maxerr {max(errs):.2e}"
+        return dt
+
+    run()                                   # warm/compile
+    t_ours = run()
+    cache = _load_cache()
+    ent = cache.get("feast_window")
+    t_base = float(ent["value"]) if ent else float("nan")
+    emit("chebyshev_window_wall_s", t_ours, "s", t_base / t_ours,
+         note="solve-free Jackson-damped Chebyshev filter (degree 1200) "
+              "f32; same task and CPU baseline as feast_window_wall_s")
+
+
 # -- metric 5: virtual-mesh sharding overhead ---------------------------------
 _SHARD_SNIPPET = r"""
 import os, time, json

@@ -39,6 +39,7 @@ from .ops.operators import (
 )
 from .solvers.lanczos import inexactLanczosDiagonalization
 from .solvers.feast import feastDiagonalization
+from .solvers.chebyshev import chebyshevFilteredDiagonalization
 from .utils.subspace import (
     basisTransformation,
     diagonalizeHamiltonian,
@@ -79,6 +80,7 @@ __all__ = [
     "as_operator",
     "inexactLanczosDiagonalization",
     "feastDiagonalization",
+    "chebyshevFilteredDiagonalization",
     "basisTransformation",
     "diagonalizeHamiltonian",
     "eigenvalueResidual",

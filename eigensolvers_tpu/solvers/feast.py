@@ -47,9 +47,13 @@ from ..utils.profiling import PhaseTimer
 
 def _node_optype(z):
     """Operator type for one quadrature node: real z on the contour keeps the
-    Hermitian structure; complex z needs the general solver ("sym" is
-    disabled — numerical-stability TODO inherited from the reference,
-    feast.py:84-87)."""
+    Hermitian structure; complex z is dispatched as "gen" at this seam — the
+    reference disabled its "sym" (complex-symmetric) solver for stability
+    (reference: feast.py:84-87).  The complex-symmetric structure of
+    (zI - H) for real-symmetric H is NOT lost, though: the production path
+    (_use_split_complex) exploits exactly it through the J-symmetrized
+    2x2 real-block MINRES, which is the stable form of a complex-symmetric
+    short-recurrence solve."""
     if abs(z.imag) < 1e-15:
         return "her", z.real
     return "gen", z
@@ -144,15 +148,22 @@ def _ritz_warm_starts(Y, zs, ritz_ev, split: bool):
     mask = np.abs(d) > 1e-12
     c[mask] = 1.0 / d[mask]
     c = c.reshape(-1)                                    # lane (k, i) order
-    import jax.numpy as jnp
-    Yarr = jnp.stack([y.array.ravel() for y in Y])       # (m0, n)
-    Yt = jnp.tile(Yarr, (len(zs), 1))                    # (nk*m0, n)
+    # stay in the backend's array space: jnp for device-resident backends,
+    # numpy for the CPU backend (a jnp stack here would silently ship the
+    # CPU baseline's arrays to the accelerator)
+    import jax
+    if isinstance(Y[0].array, jax.Array):
+        xp = jax.numpy
+    else:
+        xp = np
+    Yarr = xp.stack([y.array.ravel() for y in Y])        # (m0, n)
+    Yt = xp.tile(Yarr, (len(zs), 1))                     # (nk*m0, n)
     if split:
-        cre = jnp.asarray(c.real, Yt.dtype)[:, None]
-        cim = jnp.asarray(c.imag, Yt.dtype)[:, None]
-        return jnp.stack([Yt * cre, Yt * cim], axis=1)   # (nl, 2, n)
+        cre = xp.asarray(c.real, Yt.dtype)[:, None]
+        cim = xp.asarray(c.imag, Yt.dtype)[:, None]
+        return xp.stack([Yt * cre, Yt * cim], axis=1)    # (nl, 2, n)
     return Yt.astype(np.result_type(Yt.dtype, c.dtype)) * \
-        jnp.asarray(c)[:, None]
+        xp.asarray(c)[:, None]
 
 
 #: warm solves run at least one digit tighter than the configured tolerance
