@@ -500,6 +500,7 @@ def main():
     bench_bsr()
     bench_sop()
     bench_feast()
+    bench_chebyshev()
     bench_sharding_overhead()
     bench_lanczos_headline()
 

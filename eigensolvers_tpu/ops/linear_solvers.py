@@ -485,12 +485,15 @@ def solve_exact_batch(op, B, sigmas, reverseGF=False):
 # ----------------------------------------------------------------------------
 def _jsym_block_matvec(op, a, bimag, n):
     """(J A_blk) u for u = [xr; xi]: rows (A1 xr - b xi, -b xr - A1 xi) with
-    A1 = aI - H.  Two H applications per iteration."""
+    A1 = aI - H.  The two H applications per iteration run as ONE batched
+    apply over the stacked (2, n) halves — under the outer lane vmap that
+    is a single matmat, so H streams from HBM once per iteration instead
+    of twice (the solve is bandwidth-bound on the operator fetch)."""
     def mv(u):
-        xr, xi = u[:n], u[n:]
-        a1r = a * xr - op.matvec(xr)
-        a1i = a * xi - op.matvec(xi)
-        return jnp.concatenate([a1r - bimag * xi, -bimag * xr - a1i])
+        U = u.reshape(2, n)
+        A1 = a * U - jax.vmap(op.matvec)(U)          # rows: (A1 xr, A1 xi)
+        return jnp.concatenate([A1[0] - bimag * U[1],
+                                -bimag * U[0] - A1[1]])
     return mv
 
 

@@ -244,6 +244,115 @@ def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
     return Q
 
 
+def _feast_loop_fused(A, Y, gk, wk, thetas, zs, eRadius,
+                      contourEllipseFactor, eConv, maxit, status, printObj,
+                      timer, warmStartSolves, eMin, eMax):
+    """Outer loop over fused single-program iterations
+    (solvers/fast_feast.py::feast_filter_program).  Mirrors the generic
+    loop body line for line — same status keys, reporter calls, Löwdin /
+    shrink / convergence logic (reference: feast.py:185-238) — but carries
+    the subspace as a device-resident (m0, n) stack and folds the
+    basis rotation, lane tiling, warm starts, contour solves, quadrature
+    accumulation and S/H~ assembly into one XLA program per iteration."""
+    import jax
+    import jax.numpy as jnp
+    from .fast_feast import feast_filter_program
+
+    typeClass = type(Y[0])
+    options = Y[0].options
+    opts = options["linearSystemArgs"]
+    op = typeClass._as_operator(A, Y[0])
+    nk = len(gk)
+    N_SUBSPACE = len(Y)
+    rdtype = np.dtype(Y[0].dtype)
+
+    mults = np.array([-0.50 * wk[k] * eRadius * (
+        contourEllipseFactor * math.cos(thetas[k])
+        + math.sin(thetas[k]) * 1j) for k in range(nk)])
+    sig_re = jnp.asarray(np.real(zs).astype(rdtype))
+    sig_im = jnp.asarray(np.imag(zs).astype(rdtype))
+    mult_re = jnp.asarray(mults.real.astype(rdtype))
+    mult_im = jnp.asarray(mults.imag.astype(rdtype))
+
+    Ybase = jnp.stack([y.array.ravel() for y in Y])   # entry cost, once
+    C = np.eye(N_SUBSPACE, dtype=rdtype)              # identity rotation
+    ritz = np.zeros(N_SUBSPACE)
+    maxiter = int(opts["linearIter"])
+    precond = opts.get("preconditioner")
+    errNC = opts.get("errorOnNonConvergence", True)
+    ev = np.full(N_SUBSPACE, np.nan)
+    ref_ev = None
+
+    for it in range(maxit):
+        status["outerIter"] = it
+        status["quadrature"] = nk - 1
+        warm = bool(warmStartSolves and it > 0)
+        scale = _warm_rtol_scale(Y, status.get("residual"), eConv) \
+            if warm else 1.0
+        with timer.phase("quadrature_solves"):
+            Q, S, Hm, resn, iters, conv = feast_filter_program(
+                op, Ybase, jnp.asarray(C), sig_re, sig_im, mult_re,
+                mult_im, jnp.asarray(ritz.astype(rdtype)),
+                jnp.asarray(opts["linear_tol"] * scale, rdtype),
+                jnp.asarray(opts["linear_atol"] * scale, rdtype),
+                maxiter, precond=precond, warm=warm)
+            # one host transfer for everything the host-side RR needs
+            Smat, Hmat, resn_h, iters_h, conv_h = jax.device_get(
+                (S, Hm, resn, iters, conv))
+        nbad = int(conv_h.size - np.count_nonzero(conv_h))
+        if nbad:
+            msg = (f"Batched split solver: {nbad}/{conv_h.size} lanes did "
+                   f"not converge (max residual "
+                   f"{float(np.max(resn_h)):.3e})")
+            if errNC:
+                raise RuntimeError(msg)
+            warnings.warn(msg)
+        status["solverIterations"] = (status.get("solverIterations", 0)
+                                      + int(np.sum(iters_h)))
+
+        printObj.writeFile("iteration", status)
+        printObj.writeFile("overlap", Smat)
+
+        with timer.phase("rayleigh_ritz"):
+            status, uS = lowdinOrthoMatrix(Smat, status)
+            ev, uv = diagonalizeHamiltonian(uS, Hmat, printObj)
+            uSH = uS @ uv
+            del uv
+        # fused basisTransformation: the rotation rides into the next
+        # iteration's program as C (Y_next = uSH^T @ Q)
+        Ybase = Q
+        C = np.ascontiguousarray(uSH.T.astype(rdtype))
+        ritz = np.asarray(ev, np.float64)
+
+        if it != 0:
+            if len(ref_ev) > len(ev):
+                # subspace shrank: match reference eigenvalues to nearest
+                indices = np.argmin(np.abs(ref_ev[:, None] - ev[None, :]),
+                                    axis=0)
+                ref_ev = ref_ev[indices]
+            elif len(ref_ev) < len(ev):
+                raise RuntimeError(f"{ref_ev=} but {ev=}. Enlarged space?")
+            residual = eigenvalueResidual(ev, ref_ev, [eMin, eMax])
+            status["runTime"] = time.time() - status["startTime"]
+            status["residual"] = residual
+            printObj.writeFile("summary", ev, residual, status)
+            if residual < eConv:
+                status["isConverged"] = True
+                break
+
+        if N_SUBSPACE != len(ev):
+            warnings.warn(
+                f"Alert! Got {N_SUBSPACE - len(ev)} dependent vectors")
+        N_SUBSPACE = len(ev)
+        ref_ev = ev
+
+    # materialize the final rotated subspace (the generic loop's last
+    # basisTransformation) — one kernel + m0 wraps, once
+    Yfinal = jnp.asarray(C) @ Ybase
+    Yout = [typeClass(Yfinal[i], options) for i in range(C.shape[0])]
+    return ev, Yout, status
+
+
 def feastDiagonalization(A, Y: List[AbstractVector],
                          nc, quad, eMin, eMax, eConv, maxit,
                          contourEllipseFactor=1.0,
@@ -317,6 +426,23 @@ def feastDiagonalization(A, Y: List[AbstractVector],
     ev = np.full(N_SUBSPACE, np.nan)
     ref_ev = None
     timer = PhaseTimer()
+
+    use_fused = False
+    if batchQuadratureSolves and Y[0].hasExactAddition:
+        from .fast_feast import fused_eligible
+        use_fused = fused_eligible(typeClass, A, Y, _use_split_complex(A, Y))
+    if use_fused:
+        # single-program outer iterations (solvers/fast_feast.py): identical
+        # semantics, ~10^2 fewer device round trips per iteration
+        ev, Y, status = _feast_loop_fused(
+            A, Y, gk, wk, thetas, zs, eRadius, contourEllipseFactor,
+            eConv, maxit, status, printObj, timer, warmStartSolves,
+            eMin, eMax)
+        status["timers"] = timer.summary()
+        printObj.writeFile("results", ev)
+        printObj.fileFooter()
+        printObj.close()
+        return ev, Y, status
 
     for it in range(maxit):
         status["outerIter"] = it

@@ -349,7 +349,12 @@ class JaxVector(AbstractVector):
     def orthogonalize_against_set(cls, x: "JaxVector", qs: List["JaxVector"],
                                   lindep=LINDEP_DEFAULT_VALUE):
         Q = cls._stack(qs, pad_to=_pad_rows(len(qs)))
-        arr, innerprod = _mgs_kernel(x.array.ravel().astype(Q.dtype), Q)
+        # promote, never demote: casting a complex x to a real basis dtype
+        # would silently drop its imaginary part (the reference's GS runs in
+        # numpy's promoted dtype, numpyVector.py:121-145)
+        dtype = jnp.result_type(x.array.dtype, Q.dtype)
+        arr, innerprod = _mgs_kernel(x.array.ravel().astype(dtype),
+                                     Q.astype(dtype))
         innerprod = complex(innerprod).real if jnp.iscomplexobj(innerprod) \
             else float(innerprod)
         if innerprod > lindep:

@@ -1,0 +1,102 @@
+"""Fused single-program FEAST iterations (solvers/fast_feast.py).
+
+The fused loop must (a) actually engage for eligible configs, (b) produce
+the same answers as the generic batched path — it is a dispatch-count
+optimization, not an algorithm change — and (c) stay out of the way for
+backends/configs it does not cover.
+"""
+
+import numpy as np
+import pytest
+import scipy.linalg as la
+
+from eigensolvers_tpu import (JaxVector, as_operator, feastDiagonalization,
+                              select_within_range)
+from eigensolvers_tpu.models.synthetic import known_spectrum_matrix
+import eigensolvers_tpu.solvers.feast as feast_mod
+
+
+N = 400
+EMIN, EMAX = 200.25, 204.75
+M0, NC = 8, 8
+
+
+@pytest.fixture(scope="module")
+def problem():
+    H, ev = known_spectrum_matrix(N, eigenvalues=np.linspace(1.0, 400.0, N),
+                                  seed=10)
+    rng = np.random.RandomState(3)
+    Yg = la.qr(rng.rand(N, M0), mode="economic")[0]
+    truth = select_within_range(ev, EMIN, EMAX)[0]
+    return np.asarray(H), Yg, truth
+
+
+def _run(H, Yg, batch, warm, spy_calls=None, ls_extra=None):
+    ls = {"linearSolver": "minres", "linearIter": 4000, "linear_tol": 1e-8,
+          "errorOnNonConvergence": False}
+    ls.update(ls_extra or {})
+    Y = [JaxVector(Yg[:, i], {"linearSystemArgs": dict(ls)})
+         for i in range(M0)]
+    return feastDiagonalization(as_operator(H), Y, NC, "legendre",
+                                EMIN, EMAX, 1e-9, 10, writeOut=False,
+                                batchQuadratureSolves=batch,
+                                warmStartSolves=warm)
+
+
+def test_fused_engages_and_matches_generic(problem, monkeypatch):
+    H, Yg, truth = problem
+    calls = {"n": 0}
+    orig = feast_mod._feast_loop_fused
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(feast_mod, "_feast_loop_fused", spy)
+
+    evF, YF, stF = _run(H, Yg, batch=True, warm=False)
+    assert calls["n"] == 1, "fused loop did not engage for an eligible config"
+
+    evG, YG, stG = _run(H, Yg, batch=False, warm=False)
+    # identical algorithm, same solves: eigenvalues agree far below eConv
+    gotF = np.sort(select_within_range(np.asarray(evF), EMIN, EMAX)[0])
+    gotG = np.sort(select_within_range(np.asarray(evG), EMIN, EMAX)[0])
+    assert len(gotF) == len(gotG) >= len(truth)
+    np.testing.assert_allclose(gotF, gotG, rtol=1e-7, atol=1e-7)
+    # and the in-window eigenvalues are correct vs the known spectrum
+    errs = [min(abs(gotF - t)) for t in truth]
+    assert max(errs) < 1e-5
+
+    # returned vectors match the generic path's (up to sign): the fused
+    # loop's deferred basisTransformation materializes the same subspace
+    for yF, yG in zip(YF, YG):
+        xF = np.asarray(yF.array).ravel()
+        xG = np.asarray(yG.array).ravel()
+        assert abs(abs(np.dot(xF, xG)) - 1.0) < 1e-6
+
+
+def test_fused_warm_starts_match(problem):
+    H, Yg, truth = problem
+    evW, _, stW = _run(H, Yg, batch=True, warm=True)
+    gotW = np.sort(select_within_range(np.asarray(evW), EMIN, EMAX)[0])
+    errs = [min(abs(gotW - t)) for t in truth]
+    assert len(gotW) >= len(truth) and max(errs) < 1e-5
+    assert stW["solverIterations"] > 0
+
+
+def test_fused_skips_exact_solver(problem, monkeypatch):
+    H, Yg, truth = problem
+    calls = {"n": 0}
+    orig = feast_mod._feast_loop_fused
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(feast_mod, "_feast_loop_fused", spy)
+    ev, _, _ = _run(H, Yg, batch=True, warm=False,
+                    ls_extra={"linearSolver": "exact"})
+    assert calls["n"] == 0, "fused loop must not engage for exact solves"
+    got = np.sort(select_within_range(np.asarray(ev), EMIN, EMAX)[0])
+    errs = [min(abs(got - t)) for t in truth]
+    assert len(got) >= len(truth) and max(errs) < 1e-5
