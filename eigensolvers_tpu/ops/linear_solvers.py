@@ -44,6 +44,18 @@ import numpy as np
 
 from .operators import AbstractOperator
 
+#: All solver-internal contractions (Lanczos/Arnoldi inner products, basis
+#: updates) run at true-f32 precision: a TPU MXU dot_general defaults to
+#: bf16 inputs (~3 lost decimal digits), which caps the attainable residual
+#: of the recurrences far above the f32 tolerance scale the eigensolvers
+#: request.  The operator matvec itself already pins its own precision
+#: (ops/operators.py::resolve_precision).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _vdot(a, b):
+    return jnp.vdot(a, b, precision=_HI)
+
 
 class SolveResult(NamedTuple):
     x: jax.Array
@@ -87,7 +99,7 @@ def _minres_fixed(matvec, b, x0, rtol, atol, maxiter, psolve=None):
         counter starts at it0 and is bounded by the global maxiter."""
         r1 = b - matvec(x0c)
         y0 = psolve(r1)
-        beta1 = jnp.sqrt(jnp.maximum(jnp.real(jnp.vdot(r1, y0)), 0.0))
+        beta1 = jnp.sqrt(jnp.maximum(jnp.real(_vdot(r1, y0)), 0.0))
         init = dict(
             x=x0c, r1=r1, r2=r1, y=y0,
             w=jnp.zeros_like(b), w2=jnp.zeros_like(b),
@@ -103,7 +115,7 @@ def _minres_fixed(matvec, b, x0, rtol, atol, maxiter, psolve=None):
         return jax.lax.while_loop(cond, _body, init)
 
     tol_abs = jnp.maximum(
-        rtol * jnp.sqrt(jnp.maximum(jnp.real(jnp.vdot(b, psolve(b))), 0.0)),
+        rtol * jnp.sqrt(jnp.maximum(jnp.real(_vdot(b, psolve(b))), 0.0)),
         atol)
 
     def _body(c):
@@ -115,12 +127,12 @@ def _minres_fixed(matvec, b, x0, rtol, atol, maxiter, psolve=None):
         # (oldb is exactly 0 only on a sweep's first step) — gating on the
         # global itn would corrupt the first step of warm-restart sweeps.
         y = jnp.where(c["oldb"] > 0, 1.0, 0.0) * (-(c["beta"] / jnp.where(c["oldb"] > 0, c["oldb"], 1.0)) * c["r1"]) + y
-        alfa = jnp.real(jnp.vdot(v, y))
+        alfa = jnp.real(_vdot(v, y))
         y = y - (alfa / c["beta"]) * c["r2"]
         r1, r2 = c["r2"], y
         my = psolve(y)
         oldb = c["beta"]
-        beta = jnp.sqrt(jnp.maximum(jnp.real(jnp.vdot(y, my)), 0.0))
+        beta = jnp.sqrt(jnp.maximum(jnp.real(_vdot(y, my)), 0.0))
 
         # Plane rotations (QR of the tridiagonal)
         oldeps = c["epsln"]
@@ -202,10 +214,10 @@ def _gmres_fixed(matvec, b, x0, rtol, atol, restart, maxiter, psolve=None):
             V, R, givens, g = carry
             w = matvec(psolve(V[j]))
             mask = (jnp.arange(restart + 1) <= j).astype(dtype)
-            h1 = (V.conj() @ w) * mask
-            w = w - V.T @ h1
-            h2 = (V.conj() @ w) * mask          # second CGS pass
-            w = w - V.T @ h2
+            h1 = jnp.matmul(V.conj(), w, precision=_HI) * mask
+            w = w - jnp.matmul(V.T, h1, precision=_HI)
+            h2 = jnp.matmul(V.conj(), w, precision=_HI) * mask  # second CGS pass
+            w = w - jnp.matmul(V.T, h2, precision=_HI)
             h = h1 + h2
             hnext = jnp.linalg.norm(w)
             ok = hnext > tiny
@@ -240,13 +252,14 @@ def _gmres_fixed(matvec, b, x0, rtol, atol, restart, maxiter, psolve=None):
 
         def back(k, y):
             i = restart - 1 - k
-            s = g[i] - jnp.dot(jnp.where(idx > i, R[i, :restart], 0), y)
+            s = g[i] - jnp.dot(jnp.where(idx > i, R[i, :restart], 0), y,
+                               precision=_HI)
             dii = R[i, i]
             ok = jnp.abs(dii) > tiny
             return y.at[i].set(jnp.where(ok, s / jnp.where(ok, dii, 1.0), 0.0))
 
         y = jax.lax.fori_loop(0, restart, back, jnp.zeros((restart,), dtype))
-        x = x + psolve(V[:restart].T @ y)
+        x = x + psolve(jnp.matmul(V[:restart].T, y, precision=_HI))
         rnorm = jnp.linalg.norm(b - matvec(x))
         return x, rnorm
 

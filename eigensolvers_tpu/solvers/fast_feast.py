@@ -77,7 +77,13 @@ def feast_filter_program(op, Ybase, C, sig_re, sig_im, mult_re, mult_im,
     Returns (Q, S, Hm, resnorms, iterations, converged) — Q (m0, n) stays
     on device as the next iteration's Ybase.
     """
-    Y = C @ Ybase                                        # (m0, n)
+    # ALL matmuls in this program run at true-f32 precision: the TPU MXU
+    # default (bf16 inputs) loses ~3 decimal digits, which the Rayleigh-Ritz
+    # S/Hm assembly cannot afford — measured 1e-1 eigenvalue error on a
+    # v5e at default precision vs 1.5e-6 at "highest" (the generic path's
+    # overlapMatrix/matrixRepresentation already pin "highest").
+    hi = jax.lax.Precision.HIGHEST
+    Y = jnp.matmul(C, Ybase, precision=hi)               # (m0, n)
     m0, n = Y.shape
     nk = sig_re.shape[0]
     B = jnp.tile(Y, (nk, 1))                             # lane (k, i), k major
@@ -102,10 +108,10 @@ def feast_filter_program(op, Ybase, C, sig_re, sig_im, mult_re, mult_im,
     Xr = X[:, 0, :].reshape(nk, m0, n)
     Xi = X[:, 1, :].reshape(nk, m0, n)
     # Q_i = sum_k Re[mult_k (Xr + i Xi)] — all-real contraction
-    Q = (jnp.tensordot(mult_re, Xr, axes=([0], [0]))
-         - jnp.tensordot(mult_im, Xi, axes=([0], [0])))  # (m0, n)
-    S = Q @ Q.T
-    Hm = Q @ jax.vmap(op.matvec)(Q).T
+    Q = (jnp.tensordot(mult_re, Xr, axes=([0], [0]), precision=hi)
+         - jnp.tensordot(mult_im, Xi, axes=([0], [0]), precision=hi))
+    S = jnp.matmul(Q, Q.T, precision=hi)
+    Hm = jnp.matmul(Q, jax.vmap(op.matvec)(Q).T, precision=hi)
     return Q, S, Hm, res.resnorm, res.iterations, res.converged
 
 

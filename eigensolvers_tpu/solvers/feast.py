@@ -348,7 +348,8 @@ def _feast_loop_fused(A, Y, gk, wk, thetas, zs, eRadius,
 
     # materialize the final rotated subspace (the generic loop's last
     # basisTransformation) — one kernel + m0 wraps, once
-    Yfinal = jnp.asarray(C) @ Ybase
+    Yfinal = jnp.matmul(jnp.asarray(C), Ybase,
+                        precision=jax.lax.Precision.HIGHEST)
     Yout = [typeClass(Yfinal[i], options) for i in range(C.shape[0])]
     return ev, Yout, status
 

@@ -35,6 +35,13 @@ from .abstract import AbstractVector, LINDEP_DEFAULT_VALUE
 from ..ops.operators import as_operator
 from ..ops import linear_solvers as ls
 
+#: Subspace-algebra contractions (overlap/operator matrices, Gram-Schmidt
+#: dots, linear combinations) run at true-f32 precision: the TPU MXU's
+#: default bf16-input dot loses ~3 decimal digits, which the Rayleigh-Ritz
+#: and lindep thresholds cannot afford.  Same convention as the operator
+#: matvec (ops/operators.py::resolve_precision, default "highest").
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _pad_rows(m: int) -> int:
     """Zero-pad row count: next power of two >= max(m, 32).
@@ -56,7 +63,7 @@ def _pad_rows(m: int) -> int:
 @jax.jit
 def _overlap_kernel(V):
     """S = V V^H for stacked rows V (m, n)."""
-    return V.conj() @ V.T
+    return jnp.matmul(V.conj(), V.T, precision=_HI)
 
 
 @jax.jit
@@ -67,18 +74,18 @@ def _apply_batch(op, V):
 @jax.jit
 def _matrep_kernel(op, V):
     AV = jax.vmap(op.matvec)(V)
-    return V.conj() @ AV.T
+    return jnp.matmul(V.conj(), AV.T, precision=_HI)
 
 
 @jax.jit
 def _lincomb_kernel(V, coeffs):
-    return coeffs @ V
+    return jnp.matmul(coeffs, V, precision=_HI)
 
 
 @jax.jit
 def _lincomb_batch_kernel(V, C):
     # V (m, n) basis stack, C (m, k) coefficients -> (k, n) combined stack
-    return C.T @ V
+    return jnp.matmul(C.T, V, precision=_HI)
 
 
 @jax.jit
@@ -94,27 +101,27 @@ def _normalize_kernel(x):
 @functools.partial(jax.jit, static_argnames=("conj",))
 def _vdot_kernel(a, b, conj=True):
     if conj:
-        return jnp.vdot(a.ravel(), b.ravel())
-    return jnp.dot(a.ravel(), b.ravel())
+        return jnp.vdot(a.ravel(), b.ravel(), precision=_HI)
+    return jnp.dot(a.ravel(), b.ravel(), precision=_HI)
 
 
 @jax.jit
 def _ext_col_kernel(V, w):
     """col_i = <v_i | w> for stacked rows V."""
-    return V.conj() @ w
+    return jnp.matmul(V.conj(), w, precision=_HI)
 
 
 @jax.jit
 def _ext_col_op_kernel(op, V, w):
     """col_i = <v_i | H w>."""
-    return V.conj() @ op.matvec(w)
+    return jnp.matmul(V.conj(), op.matvec(w), precision=_HI)
 
 
 @jax.jit
 def _quad_accum_kernel(S, mults):
     """Re[ sum_k mults[k] * S[k, i, :] ] — the FEAST quadrature
     accumulation as one contraction (S: (nk, m0, n) complex)."""
-    return jnp.real(jnp.tensordot(mults, S, axes=([0], [0])))
+    return jnp.real(jnp.tensordot(mults, S, axes=([0], [0]), precision=_HI))
 
 
 @jax.jit
@@ -123,8 +130,8 @@ def _quad_accum_split_kernel(S, mre, mim):
     S[..., 0, :] = Re(x), S[..., 1, :] = Im(x); out[i] =
     sum_k Re(mult_k)*Re(x_ki) - Im(mult_k)*Im(x_ki) — all-real arithmetic
     (no complex dtype touches the device)."""
-    return (jnp.tensordot(mre, S[:, :, 0, :], axes=([0], [0]))
-            - jnp.tensordot(mim, S[:, :, 1, :], axes=([0], [0])))
+    return (jnp.tensordot(mre, S[:, :, 0, :], axes=([0], [0]), precision=_HI)
+            - jnp.tensordot(mim, S[:, :, 1, :], axes=([0], [0]), precision=_HI))
 
 
 @jax.jit
@@ -145,20 +152,20 @@ def _mgs_kernel(x, Q):
 
     def step(x, q):
         if complex_data:
-            term1 = jnp.vdot(q.ravel(), x.ravel())
-            term2 = jnp.vdot(q.ravel(), q.ravel()).real
+            term1 = jnp.vdot(q.ravel(), x.ravel(), precision=_HI)
+            term2 = jnp.vdot(q.ravel(), q.ravel(), precision=_HI).real
         else:
-            term1 = jnp.dot(x.ravel(), q.ravel())
-            term2 = jnp.dot(q.ravel(), q.ravel())
+            term1 = jnp.dot(x.ravel(), q.ravel(), precision=_HI)
+            term2 = jnp.dot(q.ravel(), q.ravel(), precision=_HI)
         denom = jnp.where(jnp.abs(term2) > 0, term2, 1.0)
         x = x - (term1 / denom) * q
         return x, None
 
     x, _ = jax.lax.scan(step, x, Q)
     if complex_data:
-        innerprod = jnp.vdot(x.ravel(), x.ravel()).real
+        innerprod = jnp.vdot(x.ravel(), x.ravel(), precision=_HI).real
     else:
-        innerprod = jnp.dot(x.ravel(), x.ravel())
+        innerprod = jnp.dot(x.ravel(), x.ravel(), precision=_HI)
     return x, innerprod
 
 

@@ -100,3 +100,68 @@ def test_fused_skips_exact_solver(problem, monkeypatch):
     got = np.sort(select_within_range(np.asarray(ev), EMIN, EMAX)[0])
     errs = [min(abs(got - t)) for t in truth]
     assert len(got) >= len(truth) and max(errs) < 1e-5
+
+
+def _collect_dot_precisions(jaxpr, out):
+    """All dot_general precision params in a jaxpr, recursively."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            out.append((eqn.params.get("precision"),
+                        [tuple(v.aval.shape) for v in eqn.invars]))
+        for v in eqn.params.values():
+            for w in (v if isinstance(v, (list, tuple)) else [v]):
+                if hasattr(w, "jaxpr"):
+                    _collect_dot_precisions(w.jaxpr, out)
+    return out
+
+
+def test_fused_program_pins_matmul_precision():
+    """TPU regression guard: every contraction in the fused FEAST program
+    must pin HIGHEST precision.  The TPU MXU's default bf16-input dot loses
+    ~3 decimal digits; measured on a v5e, a default-precision S/Hm assembly
+    gives 1e-1 eigenvalue errors where the generic path reaches 1.5e-6.
+    CPU ignores the precision param, so this asserts on the jaxpr (the only
+    way to catch the regression without TPU hardware in CI)."""
+    import jax
+    import jax.numpy as jnp
+    from eigensolvers_tpu import as_operator
+    from eigensolvers_tpu.solvers.fast_feast import feast_filter_program
+
+    n, m0, nk = 64, 3, 2
+    op = as_operator(np.eye(n, dtype=np.float32))
+    args = (op, jnp.ones((m0, n), np.float32), jnp.eye(m0, dtype=np.float32),
+            jnp.ones(nk, np.float32), jnp.ones(nk, np.float32),
+            jnp.ones(nk, np.float32), jnp.ones(nk, np.float32),
+            jnp.zeros(m0, np.float32), jnp.float32(1e-4), jnp.float32(1e-4))
+    jaxpr = jax.make_jaxpr(lambda *a: feast_filter_program(*a, maxiter=5))(
+        *args)
+    dots = _collect_dot_precisions(jaxpr.jaxpr, [])
+    assert dots, "expected dot_general ops in the fused program"
+    bad = [d for d in dots if d[0] is None]
+    assert not bad, f"default-precision dots in fused FEAST program: {bad}"
+
+
+def test_dense_kernels_pin_matmul_precision():
+    """Same guard for the JaxVector subspace-algebra kernels."""
+    import jax
+    import jax.numpy as jnp
+    from eigensolvers_tpu.vectors import dense as dv
+    from eigensolvers_tpu import as_operator
+
+    op = as_operator(np.eye(16, dtype=np.float32))
+    V = jnp.ones((4, 16), np.float32)
+    w = jnp.ones(16, np.float32)
+    checks = [
+        ("overlap", lambda: dv._overlap_kernel(V)),
+        ("matrep", lambda: dv._matrep_kernel(op, V)),
+        ("lincomb", lambda: dv._lincomb_kernel(V, jnp.ones(4, np.float32))),
+        ("lincomb_batch", lambda: dv._lincomb_batch_kernel(
+            V, jnp.ones((4, 2), np.float32))),
+        ("ext_col", lambda: dv._ext_col_kernel(V, w)),
+        ("ext_col_op", lambda: dv._ext_col_op_kernel(op, V, w)),
+        ("mgs", lambda: dv._mgs_kernel(w, V)),
+    ]
+    for name, fn in checks:
+        dots = _collect_dot_precisions(jax.make_jaxpr(fn)().jaxpr, [])
+        bad = [d for d in dots if d[0] is None]
+        assert not bad, f"default-precision dots in {name}: {bad}"
