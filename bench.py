@@ -6,9 +6,10 @@ The reference publishes no performance numbers (BASELINE.md), so this suite
 tolerances as the gate — every metric asserts the computed answer against an
 exact oracle before it is recorded.
 
-Metrics (one JSON line each; the headline interior-Lanczos wall is printed
-LAST so drivers that parse a single trailing line keep a round-over-round
-comparable series):
+Metrics (one JSON line each, STREAMED the moment each is measured so a
+driver timeout can never lose already-measured numbers; the headline
+interior-Lanczos wall runs FIRST and is re-printed LAST so drivers that
+parse a single trailing line keep a round-over-round comparable series):
 
   * bsr_spmv_gflops       — block-ELL SpMV, single RHS, Pallas kernel
                             (f32, n=16384, B=128, 8 blocks/row); extras
@@ -50,6 +51,7 @@ execution and overstate.
 import json
 import os
 import platform
+import signal
 import subprocess
 import sys
 import time
@@ -62,12 +64,22 @@ CACHE = os.path.join(ROOT, ".bench_baselines.json")
 RESULTS = os.path.join(ROOT, "bench_results.json")
 
 METRICS = []
+_META = {}
 
 
 def emit(metric, value, unit, vs_baseline, **extras):
-    METRICS.append({"metric": metric, "value": round(float(value), 4),
-                    "unit": unit, "vs_baseline": round(float(vs_baseline), 3),
-                    **extras})
+    rec = {"metric": metric, "value": round(float(value), 4),
+           "unit": unit, "vs_baseline": round(float(vs_baseline), 3),
+           **extras}
+    METRICS.append(rec)
+    # stream immediately: a later bench hanging or the driver's timeout
+    # must not lose this measurement (round-2 failure mode: all printing
+    # deferred to the end, BENCH_r02.json captured nothing)
+    print(json.dumps(rec), flush=True)
+    try:
+        json.dump({**_META, "metrics": METRICS}, open(RESULTS, "w"), indent=1)
+    except Exception:
+        pass
 
 
 # -- baseline cache -----------------------------------------------------------
@@ -301,13 +313,15 @@ def bench_feast():
     rng = np.random.RandomState(3)
     Yg = la.qr(rng.rand(n, m0), mode="economic")[0]
 
-    def run(vec_cls, H, dtype, ls_args, maxit=8):
+    def run(vec_cls, H, dtype, ls_args, maxit=8, check=True):
         Y = [vec_cls(Yg[:, i].astype(dtype),
                      {"linearSystemArgs": dict(ls_args)}) for i in range(m0)]
         t0 = time.perf_counter()
         evF, _, st = feastDiagonalization(H, Y, nc, "legendre", eMin, eMax,
                                           1e-6, maxit, writeOut=False)
         dt = time.perf_counter() - t0
+        if not check:
+            return dt
         got = np.sort(select_within_range(np.asarray(evF), eMin, eMax)[0])
         errs = [min(abs(got - t)) for t in truth] if len(got) else [9e9]
         assert len(got) >= len(truth) and max(errs) < 1e-4, \
@@ -317,7 +331,8 @@ def bench_feast():
     H32 = as_operator(H64.astype(np.float32))
     ours_args = {"linearSolver": "minres", "linearIter": 2500,
                  "linear_tol": 1e-5, "errorOnNonConvergence": False}
-    run(JaxVector, H32, np.float32, ours_args)          # warm/compile
+    # warm/compile only (one outer iteration compiles the fused program)
+    run(JaxVector, H32, np.float32, ours_args, maxit=1, check=False)
     t_ours = run(JaxVector, H32, np.float32, ours_args)
 
     def cpu_feast():
@@ -416,9 +431,13 @@ print(json.dumps({"t1": t1, "t8": t8}))
 
 def bench_sharding_overhead():
     env = dict(os.environ)
-    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    # pure-CPU probe: drop the TPU plugin hook (a sitecustomize on
+    # PYTHONPATH registers the remote-TPU PJRT client in every python
+    # process; under a degraded tunnel that blocks even CPU backend init)
+    env["PYTHONPATH"] = ROOT
+    env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run([sys.executable, "-c", _SHARD_SNIPPET], env=env,
-                         capture_output=True, text=True, timeout=600)
+                         capture_output=True, text=True, timeout=240)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     d = json.loads(line)
     emit("sharding_overhead_x8", d["t8"] / d["t1"], "ratio",
@@ -497,20 +516,58 @@ def main():
     jax.config.update("jax_enable_x64", True)
     warnings.filterwarnings("ignore")
 
-    bench_bsr()
-    bench_sop()
-    bench_feast()
-    bench_chebyshev()
-    bench_sharding_overhead()
-    bench_lanczos_headline()
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    _META.update({"platform": jax.devices()[0].platform,
+                  "device": str(jax.devices()[0])})
 
-    meta = {"platform": jax.devices()[0].platform,
-            "device": str(jax.devices()[0]),
-            "metrics": METRICS}
-    json.dump(meta, open(RESULTS, "w"), indent=1)
-    for m in METRICS:
-        print(json.dumps(m))
-    return 0
+    # (name, fn, worst-case seconds): the headline runs FIRST so it is
+    # captured even if a later bench blows the driver budget; each bench is
+    # skipped when the remaining budget cannot cover its worst case, and a
+    # failure in one bench never loses the others.
+    benches = [
+        ("dense2048_interior_lanczos_wall", bench_lanczos_headline, 90),
+        ("feast_window_wall_s", bench_feast, 150),
+        ("chebyshev_window_wall_s", bench_chebyshev, 60),
+        ("bsr_spmv_gflops", bench_bsr, 60),
+        ("sop_ch3cn_gflops", bench_sop, 90),
+        ("sharding_overhead_x8", bench_sharding_overhead, 240),
+    ]
+    for name, fn, worst in benches:
+        left = budget - (time.perf_counter() - t_start)
+        if left < worst:
+            print(f"# skip {name}: {left:.0f}s left < {worst}s worst case",
+                  file=sys.stderr, flush=True)
+            continue
+        t0 = time.perf_counter()
+        # hard per-bench timeout (SIGALRM): a hung device fetch or a
+        # CPU-fallback bench running 30x slow must not starve the benches
+        # behind it.  Best-effort — a fetch blocked in C returns to the
+        # interpreter only when data arrives — but it bounds every
+        # Python-visible stall.
+        def _alarm(signum, frame):
+            raise TimeoutError(f"bench exceeded {int(left)}s budget")
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(max(int(left), 1))
+        try:
+            fn()
+            print(f"# {name}: {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"# {name} FAILED after {time.perf_counter() - t0:.1f}s: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    json.dump({**_META, "metrics": METRICS}, open(RESULTS, "w"), indent=1)
+    # the headline is re-printed LAST for drivers that parse one trailing
+    # line (every metric was already streamed above when measured)
+    headline = [m for m in METRICS
+                if m["metric"] == "dense2048_interior_lanczos_wall"]
+    if headline:
+        print(json.dumps(headline[-1]), flush=True)
+    return 0 if METRICS else 1
 
 
 if __name__ == "__main__":

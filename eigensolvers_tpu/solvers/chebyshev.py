@@ -248,10 +248,26 @@ def chebyshevFilteredDiagonalization(
 
         with timer.phase("rayleigh_ritz"):
             hi = jax.lax.Precision.HIGHEST   # true f32 on TPU MXUs (bf16x6),
-            # matching the per-operator precision convention (PARITY.md)
-            AW = _apply_stack(op, W)
-            Smat = np.asarray(jnp.matmul(W.conj(), W.T, precision=hi))
-            Hmat = np.asarray(jnp.matmul(W.conj(), AW.T, precision=hi))
+            # matching the per-operator precision convention (PARITY.md).
+            # Mixed precision: the filter recurrence stays at the state
+            # dtype (the hot cost — `degree` matvecs), but S/Hm accumulate
+            # in f64 (f32 products are exact in f64; only the reduction
+            # rounds).  An all-f32 assembly floors the Rayleigh-Ritz
+            # eigenvalues at ~6e-4 for ||H||~10^3 — above the 1e-4
+            # correctness gate; same design as the FEAST carry
+            # (solvers/fast_feast.py).
+            ptype = None
+            if jnp.zeros((), jnp.float64).dtype == np.float64:   # x64 on
+                ptype = np.complex128 if jnp.iscomplexobj(W) else np.float64
+            # the RR matvecs run in f64 too (m0 promoted matvecs — trivial
+            # next to the `degree` f32 filter matvecs): an f32-rounded AW
+            # floors the Ritz values at ~3e-4 for ||H||~10^3 (measured),
+            # because the deterministic f32 filter gives a fixed point
+            # whose systematic error the RR step cannot average away.
+            Wrr = W.astype(ptype) if ptype else W
+            AW = _apply_stack(op, Wrr)
+            Smat = np.asarray(jnp.matmul(Wrr.conj(), Wrr.T, precision=hi))
+            Hmat = np.asarray(jnp.matmul(Wrr.conj(), AW.T, precision=hi))
             Hmat = 0.5 * (Hmat + Hmat.conj().T)
 
         printObj.writeFile("iteration", status)
@@ -276,6 +292,17 @@ def chebyshevFilteredDiagonalization(
             status["residual"] = residual
             printObj.writeFile("summary", ev, residual, status)
             if residual < eConv:
+                if ptype is not None and W.dtype != ptype:
+                    # mixed-precision polish: the f32 filter is
+                    # deterministic, so its fixed point carries a
+                    # systematic ~2.5e-4 span error (measured, ||H||~10^3)
+                    # that more f32 iterations cannot reduce.  Upcast the
+                    # carry and run ONE f64 filter+RR iteration — `degree`
+                    # promoted matvecs, paid once at convergence.
+                    W = W.astype(ptype)
+                    ref_ev = ev
+                    N_SUBSPACE = W.shape[0]
+                    continue
                 status["isConverged"] = True
                 break
 

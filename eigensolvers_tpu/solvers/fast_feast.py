@@ -76,17 +76,30 @@ def feast_filter_program(op, Ybase, C, sig_re, sig_im, mult_re, mult_im,
 
     Returns (Q, S, Hm, resnorms, iterations, converged) — Q (m0, n) stays
     on device as the next iteration's Ybase.
+
+    Mixed precision BY DESIGN: the contour solves (the hot cost — O(nk*m0)
+    Krylov iterations of operator matvecs) run at the SOLVE dtype
+    (``sig_re.dtype``, f32 for f32 states), while the basis rotation,
+    quadrature accumulation, and S/Hm subspace assembly run at the CARRY
+    dtype (``Ybase.dtype``, f64 under x64).  An all-f32 outer iteration
+    stalls at ~1e-3 eigenvalue error (the f32 Rayleigh-Ritz floor on
+    ||H||~10^3 spectra); carrying the filtered subspace in f64 lets the
+    Rayleigh-Ritz step average the independent f32 solve errors down to
+    ~1e-6 — the f32 solves act as inexact-FEAST noise, exactly the
+    inexactness contract the algorithm is built on.  These small (m0, n)
+    f64 contractions cost ~nothing next to the solves.
+
+    ALL matmuls pin HIGHEST precision: the TPU MXU default (bf16 inputs)
+    loses ~3 decimal digits — measured 1e-1 eigenvalue error on a v5e at
+    default precision.
     """
-    # ALL matmuls in this program run at true-f32 precision: the TPU MXU
-    # default (bf16 inputs) loses ~3 decimal digits, which the Rayleigh-Ritz
-    # S/Hm assembly cannot afford — measured 1e-1 eigenvalue error on a
-    # v5e at default precision vs 1.5e-6 at "highest" (the generic path's
-    # overlapMatrix/matrixRepresentation already pin "highest").
     hi = jax.lax.Precision.HIGHEST
-    Y = jnp.matmul(C, Ybase, precision=hi)               # (m0, n)
+    sdtype = sig_re.dtype                                # solve dtype (f32)
+    Y = jnp.matmul(C, Ybase, precision=hi)               # (m0, n) carry dtype
     m0, n = Y.shape
     nk = sig_re.shape[0]
-    B = jnp.tile(Y, (nk, 1))                             # lane (k, i), k major
+    Ys = Y.astype(sdtype)
+    B = jnp.tile(Ys, (nk, 1))                            # lane (k, i), k major
     sre = jnp.repeat(sig_re, m0)
     sim = jnp.repeat(sig_im, m0)
     if warm:
@@ -107,7 +120,8 @@ def feast_filter_program(op, Ybase, C, sig_re, sig_im, mult_re, mult_im,
     X = res.x                                            # (nk*m0, 2, n)
     Xr = X[:, 0, :].reshape(nk, m0, n)
     Xi = X[:, 1, :].reshape(nk, m0, n)
-    # Q_i = sum_k Re[mult_k (Xr + i Xi)] — all-real contraction
+    # Q_i = sum_k Re[mult_k (Xr + i Xi)] — all-real contraction at the
+    # carry dtype (mult_* arrive in carry dtype, promoting the f32 X)
     Q = (jnp.tensordot(mult_re, Xr, axes=([0], [0]), precision=hi)
          - jnp.tensordot(mult_im, Xi, axes=([0], [0]), precision=hi))
     S = jnp.matmul(Q, Q.T, precision=hi)

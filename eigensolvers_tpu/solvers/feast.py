@@ -264,18 +264,25 @@ def _feast_loop_fused(A, Y, gk, wk, thetas, zs, eRadius,
     op = typeClass._as_operator(A, Y[0])
     nk = len(gk)
     N_SUBSPACE = len(Y)
-    rdtype = np.dtype(Y[0].dtype)
+    rdtype = np.dtype(Y[0].dtype)     # solve dtype (the state's, e.g. f32)
+    # carry dtype for the filtered subspace + Rayleigh-Ritz assembly: f64
+    # under x64 regardless of the state dtype (mixed-precision design —
+    # see feast_filter_program docstring; the generic path gets the same
+    # f64 carry through _accumulate_quadrature_split's f64 mults)
+    import jax.numpy as _jnp
+    adtype = np.float64 if _jnp.zeros((), _jnp.float64).dtype == np.float64 \
+        else rdtype
 
     mults = np.array([-0.50 * wk[k] * eRadius * (
         contourEllipseFactor * math.cos(thetas[k])
         + math.sin(thetas[k]) * 1j) for k in range(nk)])
     sig_re = jnp.asarray(np.real(zs).astype(rdtype))
     sig_im = jnp.asarray(np.imag(zs).astype(rdtype))
-    mult_re = jnp.asarray(mults.real.astype(rdtype))
-    mult_im = jnp.asarray(mults.imag.astype(rdtype))
+    mult_re = jnp.asarray(mults.real.astype(adtype))
+    mult_im = jnp.asarray(mults.imag.astype(adtype))
 
-    Ybase = jnp.stack([y.array.ravel() for y in Y])   # entry cost, once
-    C = np.eye(N_SUBSPACE, dtype=rdtype)              # identity rotation
+    Ybase = jnp.stack([y.array.ravel() for y in Y]).astype(adtype)
+    C = np.eye(N_SUBSPACE, dtype=adtype)              # identity rotation
     ritz = np.zeros(N_SUBSPACE)
     maxiter = int(opts["linearIter"])
     precond = opts.get("preconditioner")
@@ -321,7 +328,7 @@ def _feast_loop_fused(A, Y, gk, wk, thetas, zs, eRadius,
         # fused basisTransformation: the rotation rides into the next
         # iteration's program as C (Y_next = uSH^T @ Q)
         Ybase = Q
-        C = np.ascontiguousarray(uSH.T.astype(rdtype))
+        C = np.ascontiguousarray(uSH.T.astype(adtype))
         ritz = np.asarray(ev, np.float64)
 
         if it != 0:
@@ -347,7 +354,10 @@ def _feast_loop_fused(A, Y, gk, wk, thetas, zs, eRadius,
         ref_ev = ev
 
     # materialize the final rotated subspace (the generic loop's last
-    # basisTransformation) — one kernel + m0 wraps, once
+    # basisTransformation) — one kernel + m0 wraps, once.  The f64 carry
+    # is kept in the returned vectors (same as the generic path, whose
+    # accumulation promotes to f64): converged eigenVECTORS at the carry
+    # precision are part of the contract.
     Yfinal = jnp.matmul(jnp.asarray(C), Ybase,
                         precision=jax.lax.Precision.HIGHEST)
     Yout = [typeClass(Yfinal[i], options) for i in range(C.shape[0])]

@@ -420,7 +420,13 @@ class JaxVector(AbstractVector):
         """FEAST fast path for split-complex solves: sols are raw (2, n)
         Re/Im-stacked device arrays (NOT backend vectors — a (2, n) array is
         not a valid sharded state, so wrapping is deferred to the final real
-        (n,) accumulants)."""
+        (n,) accumulants).
+
+        The f64 quadrature multipliers DELIBERATELY promote the accumulated
+        subspace to f64 (mixed-precision design, shared with the fused loop
+        — solvers/fast_feast.py): the f32 contour solves act as
+        inexact-FEAST noise that the f64 Rayleigh-Ritz step averages down;
+        an all-f32 outer iteration stalls at ~1e-3 eigenvalue error."""
         S = jnp.stack(sols)                               # (nk*m0, 2, n)
         nk = len(mults)
         mults = np.asarray(mults)
