@@ -454,7 +454,9 @@ def bench_sharding_overhead():
          d["t1"] / d["t8"],
          note="8-lane batched MINRES, (8,1) virtual CPU mesh vs unsharded; "
               "2-core host so ideal ratio ~1.0 (partitioning overhead, "
-              "not multi-chip speedup)")
+              "not multi-chip speedup); lanes route through the shard_map "
+              "local-while-loop schedule (zero collectives, asserted in "
+              "tests/test_spmd.py)")
 
 
 # -- headline: dense-2048 interior Lanczos ------------------------------------

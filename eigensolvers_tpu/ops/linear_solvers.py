@@ -346,6 +346,73 @@ def _minres_batch_jit(op, bs, sigmas, x0s, rtol, atol, gf_sign, maxiter,
     return jax.vmap(f)(bs, sigmas, x0s)
 
 
+def _lane_sharded_mesh(B):
+    """Mesh of a lane-stacked array sharded ONLY over the batch axis "b"
+    (P("b", ...Nones)).  This is the pattern where every lane group is fully
+    device-local, so the solve needs zero collectives; any state-axis
+    sharding returns None (the GSPMD route handles cross-"x" schedules)."""
+    sh = getattr(B, "sharding", None)
+    if not isinstance(sh, jax.sharding.NamedSharding):
+        return None
+    mesh = sh.mesh
+    if isinstance(mesh, jax.sharding.AbstractMesh):
+        return None
+    extents = dict(mesh.shape)
+    spec = tuple(sh.spec) + (None,) * (B.ndim - len(tuple(sh.spec)))
+
+    def extent(s):
+        if s is None:
+            return 1
+        axes = s if isinstance(s, tuple) else (s,)
+        e = 1
+        for a in axes:
+            e *= extents.get(a, 1)
+        return e
+
+    # state axes sharded non-trivially -> GSPMD handles the cross-"x" schedule
+    if not spec or spec[0] != "b" or any(extent(s) > 1 for s in spec[1:]):
+        return None
+    if extents.get("b", 1) <= 1:
+        return None
+    return mesh
+
+
+@functools.lru_cache(maxsize=None)
+def _minres_batch_local_fn(mesh, maxiter, precond, gf_sign):
+    """shard_map batched MINRES for a P("b", None)-sharded lane stack: each
+    device runs a fully LOCAL while_loop over its own lanes — no cross-device
+    termination reduce per iteration (the one collective GSPMD must insert
+    for a global while condition), no collectives at all.  The explicit
+    minimal schedule for embarrassingly-parallel shifted solves
+    (SURVEY.md §2.4 item 2)."""
+    from jax.sharding import PartitionSpec as P
+
+    lane = P("b")
+    stack = P("b", None)
+
+    @jax.jit
+    def run(op, B, sig, X0, rtol, atol):
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), stack, lane, stack, P(), P()),
+            out_specs=SolveResult(x=stack, resnorm=lane, iterations=lane,
+                                  converged=lane),
+            # loop-carry scalars start replicated and become lane-varying in
+            # the body; there is no communication to validate here (that is
+            # the point of this schedule), so the vma check is off
+            check_vma=False)
+        def local(opl, Bl, sl, X0l, rt, at):
+            def f(b, s, x0):
+                psolve = _resolve_precond(precond, "minres", opl, s, gf_sign)
+                return _minres_fixed(_shifted_matvec(opl, s, gf_sign), b, x0,
+                                     rt, at, maxiter, psolve=psolve)
+            return jax.vmap(f)(Bl, sl, X0l)
+
+        return local(op, B, sig, X0, jnp.asarray(rtol), jnp.asarray(atol))
+
+    return run
+
+
 @functools.partial(jax.jit, static_argnames=("restart", "maxiter", "precond"))
 def _gmres_batch_jit(op, bs, sigmas, x0s, rtol, atol, gf_sign, restart,
                      maxiter, precond=None):
@@ -379,11 +446,22 @@ def gmres(op, b, sigma, x0=None, rtol=1e-4, atol=0.0, restart=30,
 
 def minres_batch(op, bs, sigmas, x0s=None, rtol=1e-4, atol=0.0, maxiter=1000,
                  reverseGF=False, precond=None) -> SolveResult:
-    """Batched MINRES over leading axis of (bs, sigmas)."""
+    """Batched MINRES over leading axis of (bs, sigmas).
+
+    When ``bs`` is sharded over a mesh's "b" axis only (lanes distributed,
+    state local — the FEAST/block-Lanczos placement), the solve routes
+    through an explicit shard_map schedule with a device-LOCAL while loop:
+    zero collectives, instead of GSPMD's per-iteration global termination
+    reduce."""
     x0s = jnp.zeros_like(bs) if x0s is None else x0s
-    return _minres_batch_jit(op, bs, jnp.asarray(sigmas), x0s, rtol, atol,
-                             -1.0 if reverseGF else 1.0, maxiter,
-                             precond=precond)
+    gf_sign = -1.0 if reverseGF else 1.0
+    sig = jnp.asarray(sigmas)
+    mesh = _lane_sharded_mesh(bs)
+    if mesh is not None and bs.shape[0] % dict(mesh.shape)["b"] == 0:
+        fn = _minres_batch_local_fn(mesh, maxiter, precond, gf_sign)
+        return fn(op, bs, sig, x0s, rtol, atol)
+    return _minres_batch_jit(op, bs, sig, x0s, rtol, atol,
+                             gf_sign, maxiter, precond=precond)
 
 
 def gmres_batch(op, bs, sigmas, x0s=None, rtol=1e-4, atol=0.0, restart=30,

@@ -92,3 +92,82 @@ def test_row_matvec_inside_minres(problem):
     y = np.asarray(res.x)
     r = sigma * y - H @ y - np.asarray(xs)
     assert np.linalg.norm(r) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# Collective-schedule audits: the compiled HLO carries exactly the collectives
+# the schedule promises (SURVEY.md §2.4; regression guard for GSPMD drift).
+# ---------------------------------------------------------------------------
+def _collective_counts(txt):
+    import re
+    return {k: len(re.findall(k, txt))
+            for k in ("all-reduce", "all-gather", "collective-permute",
+                      "all-to-all", "reduce-scatter")}
+
+
+def test_lane_local_minres_zero_collectives():
+    """Batched MINRES on a P("b", None)-sharded lane stack routes through the
+    shard_map local-while-loop schedule: the compiled program must contain NO
+    collectives at all (each device solves its lanes independently; GSPMD's
+    global loop-termination all-reduce is the overhead this path removes)."""
+    from eigensolvers_tpu.ops import linear_solvers as ls
+    from eigensolvers_tpu.ops.operators import DenseOperator
+    from eigensolvers_tpu.models.synthetic import known_spectrum_matrix
+
+    n, lanes = 256, 8
+    H, ev = known_spectrum_matrix(n, eigenvalues=np.linspace(1, 300, n),
+                                  seed=2, dtype=np.float64)
+    op = DenseOperator(np.asarray(H))
+    rng = np.random.RandomState(0)
+    B = jnp.asarray(rng.rand(lanes, n))
+    sig = jnp.asarray(np.linspace(50, 250, lanes))
+    mesh = make_mesh(batch=8)
+    Bs = jax.device_put(B, NamedSharding(mesh, P("b", None)))
+
+    assert ls._lane_sharded_mesh(Bs) is mesh
+    fn = ls._minres_batch_local_fn(mesh, 300, None, 1.0)
+    txt = fn.lower(op, Bs, sig, jnp.zeros_like(Bs), 1e-8, 0.0) \
+            .compile().as_text()
+    counts = _collective_counts(txt)
+    assert all(v == 0 for v in counts.values()), counts
+
+    # and the public entry point routes there with correct results
+    res = ls.minres_batch(op, Bs, sig, rtol=1e-8, maxiter=2000)
+    X = np.asarray(res.x)
+    for k in range(lanes):
+        r = float(sig[k]) * X[k] - np.asarray(H) @ X[k] - np.asarray(B[k])
+        assert np.linalg.norm(r) <= 1e-8 * np.linalg.norm(np.asarray(B[k])) \
+            + 1e-12
+    assert all(np.asarray(res.converged))
+
+
+def test_gspmd_x_sharded_minres_collective_budget():
+    """State-sharded ("x") MINRES under GSPMD: the program needs all-gathers
+    (row-sharded matvec operand) and all-reduces (inner products, termination)
+    — but a bounded number.  Guards against a partitioner regression silently
+    inserting resharding traffic (VERDICT r2 next-round item 4)."""
+    from eigensolvers_tpu.ops import linear_solvers as ls
+    from eigensolvers_tpu.ops.operators import DenseOperator
+    from eigensolvers_tpu.models.synthetic import known_spectrum_matrix
+    from eigensolvers_tpu.parallel.mesh import operator_row_sharding
+
+    n = 512
+    H, ev = known_spectrum_matrix(n, eigenvalues=np.linspace(1, 600, n),
+                                  seed=2, dtype=np.float64)
+    mesh = make_mesh(batch=1, shard=8)
+    Hs = jax.device_put(jnp.asarray(H), operator_row_sharding(mesh))
+    op = DenseOperator(Hs)
+    rng = np.random.RandomState(0)
+    b = jax.device_put(jnp.asarray(rng.rand(n)),
+                       vector_sharding(mesh))
+    txt = ls._minres_jit.lower(op, b, 300.0, jnp.zeros_like(b), 1e-6, 0.0,
+                               1.0, 300, precond=None).compile().as_text()
+    counts = _collective_counts(txt)
+    # measured-minimal schedule on jax 0.9 CPU: 14 all-reduce / 6 all-gather
+    # in the whole program (setup + loop body); small slack for compiler
+    # version drift, hard failure on anything resembling per-iteration
+    # resharding blowup
+    assert counts["all-reduce"] <= 16, counts
+    assert counts["all-gather"] <= 8, counts
+    assert counts["collective-permute"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
