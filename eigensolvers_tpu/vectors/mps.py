@@ -387,7 +387,13 @@ class MPSVector(AbstractVector):
     def _mpo(self, operator):
         return _as_mpo(operator)
 
-    _supports_als = True   # chain-only DMRG/ALS sweep engines
+    def _als_solve_t(self, mpo, bt, sigma, x0t, sign, **kw):
+        """Two-site ALS sweep solve in raw-tensor space (chain engine;
+        the tree backend overrides with the tree engine)."""
+        from .mps_sweeps import als_solve
+        return als_solve(mpo.tensors, bt, sigma, x0=x0t, sign=sign, **kw)
+
+    _supports_als = True   # DMRG/ALS sweep engines available
 
     # -- constructors -------------------------------------------------------
     @classmethod
@@ -622,20 +628,18 @@ class MPSVector(AbstractVector):
         complex_shift = bool(np.iscomplexobj(np.asarray(sigma)))
 
         if opts.get("method", "krylov") == "als":
-            if not cls._supports_als:
-                raise ValueError(
-                    "ALS sweep solves are chain-only; the tree backend "
-                    "uses the compressed-Krylov method")
             # DMRG-style two-site sweeps (the reference's LinearSystem-sweep
-            # analog, ttnsVector.py:169-196) with SVD bond adaptation
-            from .mps_sweeps import als_solve
+            # analog, ttnsVector.py:169-196) with SVD bond adaptation;
+            # dispatched through the backend hook so chains use the chain
+            # engine and trees the tree engine (ttns_sweeps.py)
             x0t = b.tensors if x0 is None else x0.tensors
-            xt = als_solve(mpo.tensors, b.tensors, sigma, x0=x0t, sign=sign,
-                           maxD=maxD, eps=eps,
-                           nSweep=opts.get("nSweep", 20),
-                           convTol=opts.get("convTol", rtol),
-                           local_tol=opts.get("siteTol", max(rtol * 1e-2, 1e-10)),
-                           local_maxiter=maxiter)
+            xt = b._als_solve_t(
+                mpo, b.tensors, sigma, x0t, sign,
+                maxD=maxD, eps=eps,
+                nSweep=opts.get("nSweep", 20),
+                convTol=opts.get("convTol", rtol),
+                local_tol=opts.get("siteTol", max(rtol * 1e-2, 1e-10)),
+                local_maxiter=maxiter)
             return b._wrap(xt)
 
         def comp(ts):

@@ -341,7 +341,7 @@ class TTNSVector(MPSVector):
     true tree topologies).  Same options plumbing as MPSVector; a chain
     topology is numerically identical to the MPS backend."""
 
-    _supports_als = False   # the ALS/DMRG sweep engines are chain-only
+    _supports_als = True   # tree ALS/DMRG sweep engines (ttns_sweeps.py)
 
     def __init__(self, tensors: List[Array], options: Optional[dict] = None,
                  topo: Optional[TreeTopology] = None):
@@ -381,6 +381,13 @@ class TTNSVector(MPSVector):
             ttno = TTNO.from_sop(self.topo, operator)
             cache[self.topo] = ttno
         return ttno
+
+    def _als_solve_t(self, mpo, bt, sigma, x0t, sign, **kw):
+        """Tree-topology two-site ALS sweep solve (the sweep-engine role the
+        reference fills via ttns2 on trees, ttnsVector.py:169-196)."""
+        from .ttns_sweeps import tree_als_solve
+        return tree_als_solve(self.topo, mpo.tensors, bt, sigma, x0=x0t,
+                              sign=sign, **kw)
 
     # -- constructors / conversions ------------------------------------------
     @classmethod

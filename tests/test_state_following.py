@@ -46,3 +46,81 @@ def test_state_following():
 
     ovlp = np.vdot(np.asarray(ovlpRef.array), np.asarray(uvL[0].array))
     np.testing.assert_allclose(abs(ovlp), 1, rtol=1e-2)
+
+
+def test_state_following_mps():
+    """maxOvlp pick through the compressed MPS backend, DMRG-seeded
+    (reference: unittests/test_stateFollowingHO_ttns.py:118-129 — pyr4+
+    vibronic Hamiltonian, guess = bond-truncated copy of the reference
+    state, target = energies[idx]*1.001 so a *different* state is nearer;
+    tolerances: rel-err <= 1e-4, overlap rtol 1e-5)."""
+    from eigensolvers_tpu.models.molecules import pyrazine4_operator
+    from eigensolvers_tpu.vectors.mps import MPO, MPSVector, mps_compress
+    from eigensolvers_tpu.vectors.mps_sweeps import dmrg_eigensolve
+
+    op, spec, bases = pyrazine4_operator(N=5)
+    dims = [2, 5, 5, 5, 5]
+    mpo = MPO.from_sop_compressed(op)
+    es, xs = dmrg_eigensolve(mpo.tensors, dims, nStates=6, maxD=9,
+                             nSweep=20, convTol=1e-9, seed=13)
+    idx = 4                      # target just above state 4, follow state 5
+    opts = {"compressArgs": {"maxD": 30, "eps": 5e-9},
+            "linearSystemArgs": {"linearSolver": "minres",
+                                 "linearIter": 1000, "linear_tol": 1e-3,
+                                 "maxD": 30, "eps": 5e-9}}
+    ovlpRef = MPSVector(xs[idx + 1], opts)
+    energyRef = es[idx + 1]
+    target = es[idx] * 1.001
+    # the pick must pull PAST the nearer root (state idx) to state idx+1
+    assert find_nearest(es, target)[0] == idx
+    guess_t, _ = mps_compress([t.copy() for t in xs[idx + 1]], maxD=1)
+    guess = MPSVector(guess_t, opts)     # TruncationFixed(1) analog
+    pick = get_pick_function_maxOvlp(ovlpRef)
+
+    evL, uvL, st = inexactLanczosDiagonalization(
+        op, guess, target, 6, 10, 1e-6, pick=pick, writeOut=False)
+
+    assert st["isConverged"] is True
+    relError = abs(evL[0] - energyRef) / max(abs(energyRef), 1e-14)
+    assert relError <= 1e-4, f"{evL[0]=} vs {energyRef=}"
+    ovlp = ovlpRef.vdot(uvL[0])
+    np.testing.assert_allclose(abs(ovlp), 1, rtol=1e-5)
+
+
+def test_state_following_ttns_tree():
+    """maxOvlp state-following over a branched tree topology, seeded by the
+    tree-DMRG eigensweep (tree analog of the MPS test above)."""
+    from eigensolvers_tpu import SumOfProductOperator, TTNSVector, TreeTopology
+    from eigensolvers_tpu.models.synthetic import random_sop_terms
+    from eigensolvers_tpu.vectors.ttns import TTNO, ttns_compress
+    from eigensolvers_tpu.vectors.ttns_sweeps import tree_dmrg_eigensolve
+
+    PARENTS = (-1, 0, 0, 2, 2, 4)
+    DIMS = [3, 2, 3, 3, 3, 5]
+    topo = TreeTopology(PARENTS)
+    terms = random_sop_terms(nDim=6, dims=DIMS, nSum=3, seed=1212)
+    op = SumOfProductOperator.from_terms(6, DIMS, terms)
+    ttno = TTNO.from_sop(topo, op)
+    es, xs = tree_dmrg_eigensolve(topo, ttno.tensors, DIMS, nStates=4,
+                                  maxD=20, nSweep=20, convTol=1e-10)
+    idx = 2
+    opts = {"compressArgs": {"maxD": 40, "eps": 1e-10},
+            "linearSystemArgs": {"linearSolver": "minres",
+                                 "linearIter": 400, "linear_tol": 1e-4,
+                                 "maxD": 40, "eps": 1e-10}}
+    ovlpRef = TTNSVector(xs[idx + 1], opts, topo=topo)
+    energyRef = es[idx + 1]
+    target = es[idx] * 1.001
+    assert find_nearest(es, target)[0] == idx
+    guess_t, _ = ttns_compress(topo, [t.copy() for t in xs[idx + 1]], maxD=1)
+    guess = TTNSVector(guess_t, opts, topo=topo)
+    pick = get_pick_function_maxOvlp(ovlpRef)
+
+    evL, uvL, st = inexactLanczosDiagonalization(
+        op, guess, target, 6, 10, 1e-6, pick=pick, writeOut=False)
+
+    assert st["isConverged"] is True
+    relError = abs(evL[0] - energyRef) / max(abs(energyRef), 1e-14)
+    assert relError <= 1e-4
+    ovlp = ovlpRef.vdot(uvL[0])
+    np.testing.assert_allclose(abs(ovlp), 1, rtol=1e-5)
