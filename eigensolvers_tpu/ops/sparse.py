@@ -11,13 +11,17 @@ sparse Hamiltonians are first-class:
   TRANSPOSED (the layout every apply path consumes; re-transposing at apply
   time would stream the whole array an extra time per matvec).  Execution
   paths, selected by measurement on a v5e chip (chained inside one jit,
-  results fetched; numbers re-measured 2026-08 at f32-exact precision):
+  results fetched; numbers re-measured 2026-08 at f32-exact precision with
+  400-deep chains — shorter chains under-measure badly through the remote
+  tunnel's per-dispatch RPC):
     - single RHS on TPU (f32/bf16, 128-multiple blocks): Pallas kernel with
       scalar-prefetched block indices driving dynamic slices of x resident
-      in VMEM — ~260 GB/s block-data bandwidth, DMA-pipeline-bound (MXU
-      1-pass/6-pass and VPU multiply-reduce kernel variants all measure
-      within 5%, so extra multiply passes are free), ~2x the XLA
-      gather+einsum path;
+      in VMEM, T=4 terms fetched per grid step with a K-stacked
+      (1, T*B)@(T*B, B) MXU dot per row — 436 GB/s block-data bandwidth,
+      which IS this chip's measured streaming roofline: a dense-matvec
+      calibration achieves 431 GB/s, an explicit N-deep manual-DMA pipeline
+      435, and XLA gather+einsum 425 (the 819 GB/s nameplate is not
+      reachable by any streaming pattern measured on this part);
     - batched RHS (vmap over the matvec — FEAST lane stacks, block
       Lanczos): a ``custom_vmap`` rule reroutes to one gather + einsum
       matmat, which XLA tiles onto the MXU with full block-data reuse over
@@ -303,40 +307,59 @@ def _bsr_matmat_xla(dataT, idx, Xp, precision=None):
 
 
 _ROWS_PER_PROGRAM = 8  # output tile sublane requirement
+_TERM_TILE_BYTES = 2 * 2**20   # target block-data tile size per grid step
 
 
-def _make_bsr_kernel(nbpr: int, precision=None):
+def _terms_per_program(nbpr: int, B: int, itemsize: int) -> int:
+    """Terms fetched per grid step: the largest divisor of nbpr keeping the
+    (R, T, B, B) data tile at or under ~2 MiB.  Measured on v5e (n=16384,
+    B=128, nbpr=8): T=4 gives 436 GB/s vs 419 at T=1 — at the chip's
+    MEASURED achievable HBM streaming rate (~431 GB/s by a dense-matvec
+    calibration; the 819 GB/s nameplate is not reachable by any streaming
+    access pattern on this part, incl. XLA's own dense matvec)."""
+    budget = max(1, _TERM_TILE_BYTES // (_ROWS_PER_PROGRAM * B * B * itemsize))
+    T = 1
+    for t in range(1, nbpr + 1):
+        if nbpr % t == 0 and t <= budget:
+            T = t
+    return T
+
+
+def _make_bsr_kernel(nbpr: int, T: int, precision=None):
     def _bsr_kernel(idx_ref, dataT_ref, x_ref, o_ref):
-        """Pallas kernel: grid (row-tiles, terms).
+        """Pallas kernel: grid (row-tiles, term-tiles).
 
         Each program handles 8 block-rows (TPU output tiles need >= 8
-        sublanes) × 1 stored term; the output tile stays resident in VMEM
+        sublanes) × T stored terms; the output tile stays resident in VMEM
         across the term axis and accumulates.  Scalar-prefetched block-column
         indices drive dynamic slices of x (resident in VMEM as a (1, n)
-        row); blocks are stored pre-transposed so each accumulation is a
-        row-vector × matrix MXU product:
-            y_row (1, B) += x_row (1, B) @ blockT (B, B).
+        row); blocks are stored pre-transposed and the T gathered x-blocks
+        are concatenated so each row is ONE K-stacked MXU product:
+            y_row (1, B) += x_cat (1, T*B) @ blocksT (T*B, B).
         """
         rb = pl.program_id(0)
-        t = pl.program_id(1)
+        tb = pl.program_id(1)
         R = o_ref.shape[0]
         B = dataT_ref.shape[2]
 
-        @pl.when(t == 0)
+        @pl.when(tb == 0)
         def _():
             o_ref[:, :] = jnp.zeros_like(o_ref)
 
         for i in range(R):  # static unroll over the tile's rows
-            c = idx_ref[(rb * R + i) * nbpr + t]   # flat (nrb*nbpr,) in SMEM
-            xb = x_ref[:, pl.ds(c * B, B)]         # (1, B)
+            parts = [
+                x_ref[:, pl.ds(idx_ref[(rb * R + i) * nbpr + tb * T + u] * B,
+                               B)]
+                for u in range(T)]
+            xcat = jnp.concatenate(parts, axis=1) if T > 1 else parts[0]
             o_ref[pl.ds(i, 1), :] += jnp.dot(
-                xb, dataT_ref[i, 0], preferred_element_type=o_ref.dtype,
-                precision=precision)
+                xcat, dataT_ref[i].reshape(T * B, B),
+                preferred_element_type=o_ref.dtype, precision=precision)
 
     return _bsr_kernel
 
 
-def _make_bsr_kernel_split(nbpr: int):
+def _make_bsr_kernel_split(nbpr: int, T: int):
     def _bsr_kernel(idx_ref, hiT_ref, loT_ref, x_ref, o_ref):
         """bf16x3 variant of the kernel above ("high" precision): the f32
         block data arrives pre-split as hi/lo bf16 halves (same total bytes
@@ -348,21 +371,24 @@ def _make_bsr_kernel_split(nbpr: int):
         roughly twice the full-f32 ("highest", 6-pass) throughput.
         """
         rb = pl.program_id(0)
-        t = pl.program_id(1)
+        tb = pl.program_id(1)
         R = o_ref.shape[0]
         B = hiT_ref.shape[2]
 
-        @pl.when(t == 0)
+        @pl.when(tb == 0)
         def _():
             o_ref[:, :] = jnp.zeros_like(o_ref)
 
         for i in range(R):
-            c = idx_ref[(rb * R + i) * nbpr + t]
-            xb = x_ref[:, pl.ds(c * B, B)]               # (1, B) f32
+            parts = [
+                x_ref[:, pl.ds(idx_ref[(rb * R + i) * nbpr + tb * T + u] * B,
+                               B)]
+                for u in range(T)]
+            xb = jnp.concatenate(parts, axis=1) if T > 1 else parts[0]
             xh = xb.astype(jnp.bfloat16)
             xl = (xb - xh.astype(xb.dtype)).astype(jnp.bfloat16)
-            Bh = hiT_ref[i, 0]
-            Bl = loT_ref[i, 0]
+            Bh = hiT_ref[i].reshape(T * B, B)
+            Bl = loT_ref[i].reshape(T * B, B)
             acc = jnp.dot(xh, Bh, preferred_element_type=o_ref.dtype)
             acc += jnp.dot(xh, Bl, preferred_element_type=o_ref.dtype)
             acc += jnp.dot(xl, Bh, preferred_element_type=o_ref.dtype)
@@ -394,11 +420,12 @@ try:  # Pallas import is TPU/CPU-safe; the kernel only launches on TPU
         # full precision here.
         if precision == jax.lax.Precision.HIGH:
             precision = jax.lax.Precision.HIGHEST
+        T = _terms_per_program(nbpr, B, jnp.dtype(dataT.dtype).itemsize)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nrb_p // R, nbpr),
+            grid=(nrb_p // R, nbpr // T),
             in_specs=[
-                pl.BlockSpec((R, 1, B, B),
+                pl.BlockSpec((R, T, B, B),
                              lambda r, t, idx_ref: (r, t, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # x, full (1, n)
             ],
@@ -410,7 +437,7 @@ try:  # Pallas import is TPU/CPU-safe; the kernel only launches on TPU
         # value dtype changes).  f64 data (interpret mode / CPU) keeps the
         # ambient config so kernel math stays f64.
         launch = functools.partial(
-            pl.pallas_call, _make_bsr_kernel(nbpr, precision),
+            pl.pallas_call, _make_bsr_kernel(nbpr, T, precision),
             out_shape=jax.ShapeDtypeStruct((nrb_p, B), dataT.dtype),
             grid_spec=grid_spec, interpret=interpret)
         if jnp.dtype(dataT.dtype).itemsize <= 4:
@@ -435,20 +462,21 @@ try:  # Pallas import is TPU/CPU-safe; the kernel only launches on TPU
             idx = jnp.concatenate(
                 [idx, jnp.zeros((pad, nbpr), idx.dtype)])
         nrb_p = nrb + pad
+        T = _terms_per_program(nbpr, B, 2 * jnp.dtype(hiT.dtype).itemsize)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nrb_p // R, nbpr),
+            grid=(nrb_p // R, nbpr // T),
             in_specs=[
-                pl.BlockSpec((R, 1, B, B),
+                pl.BlockSpec((R, T, B, B),
                              lambda r, t, idx_ref: (r, t, 0, 0)),
-                pl.BlockSpec((R, 1, B, B),
+                pl.BlockSpec((R, T, B, B),
                              lambda r, t, idx_ref: (r, t, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # x, full (1, n)
             ],
             out_specs=pl.BlockSpec((R, B), lambda r, t, idx_ref: (r, 0)),
         )
         launch = functools.partial(
-            pl.pallas_call, _make_bsr_kernel_split(nbpr),
+            pl.pallas_call, _make_bsr_kernel_split(nbpr, T),
             out_shape=jax.ShapeDtypeStruct((nrb_p, B), jnp.float32),
             grid_spec=grid_spec, interpret=interpret)
         with jax.enable_x64(False):
