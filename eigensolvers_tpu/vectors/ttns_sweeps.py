@@ -38,6 +38,20 @@ from .ttns import TreeTopology, ttns_vdot, ttns_random
 # ----------------------------------------------------------------------------
 # environment contractions (integer-subscript einsum)
 # ----------------------------------------------------------------------------
+def _einsum_chain(*args):
+    """np.einsum along a FIXED sequential pairwise path: operand 0 is
+    contracted with 1, the accumulated result with 2, and so on.  Every
+    operand list in this module is ordered so consecutive operands share
+    indices, making each step a BLAS tensordot.  This matters twice over:
+    an einsum_path search per call costs more than these small contractions,
+    and the FLOP-'optimal' path routinely ends in a >2-operand step that
+    c_einsum executes with naive nested loops (measured 64 ms per local
+    H_eff apply vs ~0.1 ms along the pairwise chain)."""
+    n_ops = sum(1 for a in args if hasattr(a, "shape"))
+    path = ["einsum_path", (0, 1)] + [(0, m) for m in range(n_ops - 2, 0, -1)]
+    return np.einsum(*args, optimize=path)
+
+
 def _down_op(topo, x, W, down, i):
     """Operator down-environment of node ``i`` (isometric toward its parent):
     ``E[Ab, Wp, Ak]`` over the (parent, i) bond."""
@@ -50,7 +64,7 @@ def _down_op(topo, x, W, down, i):
     for j, c in enumerate(ch):
         ops += [down[c], [5 + 3 * j, 6 + 3 * j, 7 + 3 * j]]
     ops += [x[i], xk]
-    return np.einsum(*ops, [0, 1, 2], optimize=True)
+    return _einsum_chain(*ops, [0, 1, 2])
 
 
 def _up_op(topo, x, W, up, down, p, c):
@@ -67,8 +81,7 @@ def _up_op(topo, x, W, up, down, p, c):
         if j != jc:
             ops += [down[e], [5 + 3 * j, 6 + 3 * j, 7 + 3 * j]]
     ops += [x[p], xk]
-    return np.einsum(*ops, [5 + 3 * jc, 6 + 3 * jc, 7 + 3 * jc],
-                     optimize=True)
+    return _einsum_chain(*ops, [5 + 3 * jc, 6 + 3 * jc, 7 + 3 * jc])
 
 
 def _down_rhs(topo, x, b, down, i):
@@ -81,7 +94,7 @@ def _down_rhs(topo, x, b, down, i):
     for j, c in enumerate(ch):
         ops += [down[c], [3 + 2 * j, 4 + 2 * j]]
     ops += [b[i], bk]
-    return np.einsum(*ops, [0, 1], optimize=True)
+    return _einsum_chain(*ops, [0, 1])
 
 
 def _up_rhs(topo, x, b, up, down, p, c):
@@ -96,7 +109,7 @@ def _up_rhs(topo, x, b, up, down, p, c):
         if j != jc:
             ops += [down[e], [3 + 2 * j, 4 + 2 * j]]
     ops += [b[p], bk]
-    return np.einsum(*ops, [3 + 2 * jc, 4 + 2 * jc], optimize=True)
+    return _einsum_chain(*ops, [3 + 2 * jc, 4 + 2 * jc])
 
 
 # ----------------------------------------------------------------------------
@@ -127,7 +140,8 @@ class _Edge:
         sc = [2, 3] + [30 + f for f in range(len(self.ch_c))]
         out = [0, 1] + [10 + j for j in range(len(self.ch_p)) if j != jc] \
             + [3] + [30 + f for f in range(len(self.ch_c))]
-        return np.einsum(x[p], sp, x[c], sc, out, optimize=True)
+        return np.einsum(x[p], sp, x[c], sc, out,
+                         optimize=["einsum_path", (0, 1)])
 
     def split(self, theta, maxD, eps, center_to):
         """SVD-split theta; ``center_to`` is 'p' or 'c'.  Returns
@@ -179,8 +193,12 @@ class _Edge:
         return ops, sub_ket, sub_bra
 
     def apply_H(self, W, up, down, theta):
+        # theta leads the chain: contracting the environments into theta one
+        # at a time keeps every intermediate O(theta * S); any order that
+        # combines environments first materializes (part of) the full
+        # H_eff tensor
         ops, sk, sb = self._op_operands(W, up, down)
-        return np.einsum(*ops, theta, sk, sb, optimize=True)
+        return _einsum_chain(theta, sk, *ops, sb)
 
     def diag_H(self, W, up, down):
         """diag(H_eff) in the theta layout (Jacobi preconditioner)."""
@@ -200,7 +218,7 @@ class _Edge:
             ops += [dE(down[e]), [base + 2 * f, base + 2 * f + 1]]
         out = [0, 3] + [7 + 2 * j for j in range(kp) if j != jc] \
             + [5] + [base + 2 * f for f in range(kc)]
-        return np.einsum(*ops, out, optimize=True)
+        return _einsum_chain(*ops, out)
 
     def project_rhs(self, b, up_b, down_b):
         """Project the RHS (or a deflation state) onto the local two-site
@@ -218,7 +236,7 @@ class _Edge:
             ops += [down_b[e], [base + 2 * f, base + 2 * f + 1]]
         out = [0, 2] + [10 + 2 * j for j in range(kp) if j != jc] \
             + [7] + [base + 2 * f for f in range(kc)]
-        return np.einsum(*ops, out, optimize=True)
+        return _einsum_chain(*ops, out)
 
 
 # ----------------------------------------------------------------------------

@@ -43,6 +43,7 @@ def _run(H, Yg, batch, warm, spy_calls=None, ls_extra=None):
                                 warmStartSolves=warm)
 
 
+@pytest.mark.slow
 def test_fused_engages_and_matches_generic(problem, monkeypatch):
     H, Yg, truth = problem
     calls = {"n": 0}
@@ -75,6 +76,7 @@ def test_fused_engages_and_matches_generic(problem, monkeypatch):
         assert abs(abs(np.dot(xF, xG)) - 1.0) < 1e-6
 
 
+@pytest.mark.slow
 def test_fused_warm_starts_match(problem):
     H, Yg, truth = problem
     evW, _, stW = _run(H, Yg, batch=True, warm=True)

@@ -196,6 +196,7 @@ def test_feast_warm_start_at_least_as_accurate(problem):
     assert errW <= 1.5 * errC, (errW, errC)
 
 
+@pytest.mark.slow
 def test_feast_numpy_backend_warm_started_batch(problem):
     """The reference-native backend (NumpyVector, scipy solvers) through the
     batched quadrature path with warm starts: exercises the generic

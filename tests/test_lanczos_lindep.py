@@ -101,6 +101,7 @@ def test_futile_restarts():
     assert status["outerIter"] < 999
 
 
+@pytest.mark.slow
 def test_lindep_integration_large(problem):
     """Reference-parity adversarial config (unittests/test_lanczosLINDEP.py):
     large problem near the spectrum edge with a loose inner tolerance; the

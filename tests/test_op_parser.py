@@ -57,6 +57,7 @@ def test_pyr4_hermitian_and_spectrum(pyr4_dense):
     assert ev_ev[-1] > 1.0
 
 
+@pytest.mark.slow
 def test_feast_on_pyr4_cut(pyr4_dense):
     """FEAST finds all eigenvalues in a window of the pyr4+ cut
     (dense-feasible analog of reference test_feast_ttns.py)."""

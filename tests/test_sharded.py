@@ -78,6 +78,7 @@ def test_sharded_accuracy(problem, mesh):
     assert stS["isConverged"]
 
 
+@pytest.mark.slow
 def test_sharded_feast(problem, mesh):
     A, ev, guess = problem
     n = A.shape[0]
@@ -129,6 +130,7 @@ def test_sharded_arbitrary_length(mesh):
     np.testing.assert_allclose(phase * vS[:100], vD, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_sop_lanczos(mesh):
     """Mesh-sharded state × SoP (Kronecker) operator — the scale axis that
     replaces TTNS compression (SURVEY.md §2.4 item 1): 8-device run must
@@ -164,6 +166,7 @@ def test_sharded_sop_lanczos(mesh):
                find_nearest(np.asarray(evD), sigma)[1]) < 1e-8
 
 
+@pytest.mark.slow
 def test_batched_solves_use_b_axis(problem):
     """Production FEAST on a (b=2, x=4) mesh: the nk×m0 solve-lane stack must
     actually be distributed over the "b" mesh axis (P("b", "x")), lane counts

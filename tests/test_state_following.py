@@ -101,9 +101,9 @@ def test_state_following_ttns_tree():
     terms = random_sop_terms(nDim=6, dims=DIMS, nSum=3, seed=1212)
     op = SumOfProductOperator.from_terms(6, DIMS, terms)
     ttno = TTNO.from_sop(topo, op)
-    es, xs = tree_dmrg_eigensolve(topo, ttno.tensors, DIMS, nStates=4,
-                                  maxD=20, nSweep=20, convTol=1e-10)
-    idx = 2
+    es, xs = tree_dmrg_eigensolve(topo, ttno.tensors, DIMS, nStates=3,
+                                  maxD=16, nSweep=12, convTol=1e-10)
+    idx = 1
     opts = {"compressArgs": {"maxD": 40, "eps": 1e-10},
             "linearSystemArgs": {"linearSolver": "minres",
                                  "linearIter": 400, "linear_tol": 1e-4,

@@ -93,7 +93,7 @@ def test_tree_dmrg_ground_and_excited(prob):
     states: eigenvalues at oracle accuracy, states orthonormal."""
     topo, ev = prob["topo"], prob["ev"]
     es, xs = tree_dmrg_eigensolve(topo, prob["ttno"].tensors, DIMS,
-                                  nStates=3, maxD=40, nSweep=20,
+                                  nStates=3, maxD=24, nSweep=12,
                                   convTol=1e-11)
     np.testing.assert_allclose(es, ev[:3], atol=1e-9)
     from eigensolvers_tpu.vectors.ttns import ttns_vdot
