@@ -13,9 +13,14 @@ Window selection: a short DMRG pass locates the low-lying states, then the
 FEAST window is placed around the first excited multiplet; the example
 cross-checks the FEAST eigenvalues against the DMRG energies.
 
+The contour solves run as two-site ALS sweeps (``method="als"``) — the
+same sweep-solver class the reference's production FEAST uses
+(``LinearSystem`` sweeps, reference feast_ttns2_ch3cn.py:97-99); the
+compressed-Krylov alternative (bicgstab) is ~10x slower per solve here.
+
 Run: python examples/ch3cn_feast.py [N] [nModes] [maxD]
-Defaults (N=8, nModes=6, maxD=20) run in minutes; the production setting is
-N=42, all 12 modes.
+Defaults (N=6, nModes=5, maxD=16) run in ~2 minutes; the production setting
+is N=42, all 12 modes.
 """
 
 # allow running directly from a checkout
@@ -38,13 +43,13 @@ def main():
     from eigensolvers_tpu.vectors.mps import MPO, MPSVector
     from eigensolvers_tpu.vectors.mps_sweeps import dmrg_eigensolve
 
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    nModes = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    maxD = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    nModes = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    maxD = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     M0 = 4                               # reference N_SUBSPACE=4
-    NC = 6                               # quadrature nodes (half-contour)
-    ECONV = 1e-6
-    MAXIT = 8
+    NC = 4                               # quadrature nodes (half-contour)
+    ECONV = 1e-5
+    MAXIT = 4
 
     t0 = time.time()
     op, _, _ = ch3cn_operator(N=N, nModesCut=nModes)
@@ -76,8 +81,9 @@ def main():
     # random orthogonal compressed guesses (reference: setRandom +
     # orthogonalize, feast_ttns2_ch3cn.py:104-113)
     opts = {"compressArgs": {"maxD": maxD, "eps": 1e-10},
-            "linearSystemArgs": {"linearSolver": "bicgstab",
-                                 "linearIter": 500, "linear_tol": 1e-4,
+            "linearSystemArgs": {"method": "als", "nSweep": 6,
+                                 "convTol": 1e-5, "siteTol": 1e-6,
+                                 "linearIter": 150, "linear_tol": 1e-4,
                                  "maxD": maxD, "eps": 1e-10}}
     Y = MPSVector.orthogonalize(
         [MPSVector.random(dims, maxD=8, options=opts, seed=20 + i)
