@@ -19,3 +19,14 @@ def test_entry_compiles_and_runs():
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_weak_scaling_constant_collective_schedule():
+    """The fused Krylov step's compiled collective count must not grow with
+    the mesh (one all-gather family for the row-sharded matvec operand +
+    all-reduces for dots/termination, independent of device count); the
+    assertion lives inside weak_scaling and fires on regression."""
+    import __graft_entry__ as ge
+    report = ge.weak_scaling(4, rows_per_device=128, reps=1)
+    assert report[2]["all-reduce"] == report[4]["all-reduce"] > 0
+    assert report[2]["all-gather"] == report[4]["all-gather"]
