@@ -170,6 +170,13 @@ def _ritz_warm_starts(Y, zs, ritz_ev, split: bool):
 #: (see _warm_rtol_scale)
 WARM_RTOL_SCALE = 0.1
 
+#: f32 auto-warm policy: run a COLD solve every this many outer iterations
+#: (iterations 0, N, 2N, ... are cold).  Cold solves re-roll the f32 solve
+#: noise that Rayleigh-Ritz then averages down, breaking the frozen
+#: deterministic-fixed-point floor of always-warm f32 FEAST while keeping
+#: the warm speedup on the other iterations (warmStartSolves doc).
+COLD_REFRESH_EVERY = 3
+
 
 def _warm_rtol_scale(Y, residual, eConv):
     """Adaptive solve-tolerance scale for warm-started FEAST iterations.
@@ -246,7 +253,7 @@ def _filtered_subspace_batched(A, Y, gk, wk, thetas, zs, eRadius,
 
 def _feast_loop_fused(A, Y, gk, wk, thetas, zs, eRadius,
                       contourEllipseFactor, eConv, maxit, status, printObj,
-                      timer, warmStartSolves, eMin, eMax):
+                      timer, warmStartSolves, eMin, eMax, cold_every=0):
     """Outer loop over fused single-program iterations
     (solvers/fast_feast.py::feast_filter_program).  Mirrors the generic
     loop body line for line — same status keys, reporter calls, Löwdin /
@@ -293,7 +300,8 @@ def _feast_loop_fused(A, Y, gk, wk, thetas, zs, eRadius,
     for it in range(maxit):
         status["outerIter"] = it
         status["quadrature"] = nk - 1
-        warm = bool(warmStartSolves and it > 0)
+        warm = bool(warmStartSolves and it > 0
+                    and not (cold_every and it % cold_every == 0))
         scale = _warm_rtol_scale(Y, status.get("residual"), eConv) \
             if warm else 1.0
         with timer.phase("quadrature_solves"):
@@ -398,15 +406,25 @@ def feastDiagonalization(A, Y: List[AbstractVector],
         only), and tighten the solve tolerance adaptively to ~residual/10
         (inexact-FEAST schedule — see :func:`_warm_rtol_scale`; warm starts
         make the ever-deeper solves affordable).  Default None = AUTO:
-        enabled for f64 states, disabled for f32.  Measured: at f64 warm
-        starts are both ~1.6x faster and ~20x MORE accurate (the adaptive
-        tightening); at f32 they make the outer iteration a deterministic
-        fixed point whose error freezes at the solver's attainable floor
+        always-warm for f64 states; for f32, warm with a COLD REFRESH every
+        :data:`COLD_REFRESH_EVERY` iterations.  Why: at f64 warm starts are
+        both ~1.6x faster and ~20x MORE accurate (the adaptive tightening);
+        at f32, always-warm makes the outer iteration a deterministic fixed
+        point whose error freezes at the solver's attainable floor
         (eps*kappa at the near-real contour nodes) while the
         self-consistency estimator sees zero change — measured 2.3e-4 true
         error at a declared 1e-6 residual vs 1.5e-6 cold (cold solves
         re-roll their noise every iteration, which Rayleigh-Ritz averages
-        down).  Set True explicitly for f32 speed when eConv is coarse.
+        down).  The periodic cold solve re-rolls that noise so the floor is
+        averaged down.  Measured (n=2048 window bench config, f32, TPU):
+        auto matches cold's accuracy (1.6e-6 vs always-warm's frozen
+        2.3e-4) at cold's cost; a wall-clock win from f32 warm starts does
+        NOT materialize because a MINRES warm start at unchanged rtol exits
+        without changing the filtered subspace (no outer progress), and at
+        tightened rtol the tail iterations cost what the warm start saved —
+        the always-warm "2x speedup" was entirely the frozen estimator
+        stopping early at the wrong answer.  True = always-warm,
+        False = always-cold.
 
     Returns
     -------
@@ -417,14 +435,17 @@ def feastDiagonalization(A, Y: List[AbstractVector],
     assert eMax > eMin
     eRadius = (eMax - eMin) * 0.5
 
+    cold_every = 0        # 0 = no periodic cold refresh (always-warm)
     if warmStartSolves is None:
-        # auto (see parameter doc): warm starts only when the dtype's solve
-        # floor is far below the requested tolerances
+        # auto (see parameter doc): always-warm when the dtype's solve floor
+        # is far below the requested tolerances (f64); warm + periodic cold
+        # refresh otherwise (f32)
+        warmStartSolves = True
         try:
-            warmStartSolves = bool(
-                np.finfo(np.dtype(Y[0].dtype).type).eps <= 1e-12)
+            if np.finfo(np.dtype(Y[0].dtype).type).eps > 1e-12:
+                cold_every = COLD_REFRESH_EVERY
         except Exception:
-            warmStartSolves = False
+            cold_every = COLD_REFRESH_EVERY
 
     gk, wk, thetas, zs = _contour(eMin, eMax, nc, quad, contourEllipseFactor)
 
@@ -448,7 +469,7 @@ def feastDiagonalization(A, Y: List[AbstractVector],
         ev, Y, status = _feast_loop_fused(
             A, Y, gk, wk, thetas, zs, eRadius, contourEllipseFactor,
             eConv, maxit, status, printObj, timer, warmStartSolves,
-            eMin, eMax)
+            eMin, eMax, cold_every=cold_every)
         status["timers"] = timer.summary()
         printObj.writeFile("results", ev)
         printObj.fileFooter()
@@ -464,9 +485,11 @@ def feastDiagonalization(A, Y: List[AbstractVector],
             if use_batch:
                 status["quadrature"] = len(gk) - 1
                 report = {}
+                warm_it = bool(warmStartSolves and not (
+                    cold_every and it % cold_every == 0))
                 Q = _filtered_subspace_batched(
                     A, Y, gk, wk, thetas, zs, eRadius, contourEllipseFactor,
-                    ritz_ev=ref_ev if warmStartSolves else None,
+                    ritz_ev=ref_ev if warm_it else None,
                     report=report,
                     warm_scale=_warm_rtol_scale(Y, status.get("residual"),
                                                 eConv))

@@ -167,3 +167,63 @@ def test_dense_kernels_pin_matmul_precision():
         dots = _collect_dot_precisions(jax.make_jaxpr(fn)().jaxpr, [])
         bad = [d for d in dots if d[0] is None]
         assert not bad, f"default-precision dots in {name}: {bad}"
+
+
+def test_f32_auto_policy_is_warm_with_cold_refresh(problem, monkeypatch):
+    """AUTO warm starts (warmStartSolves=None): f64 runs always-warm after
+    iteration 0; f32 runs warm with a cold solve every COLD_REFRESH_EVERY
+    iterations (the deterministic-fixed-point fix: cold solves re-roll the
+    f32 solve noise that Rayleigh-Ritz averages down — see the
+    warmStartSolves doc for the measured 2.3e-4 frozen floor this breaks)."""
+    H, Yg, truth = problem
+    from eigensolvers_tpu.solvers import fast_feast
+
+    flags = []
+    orig = fast_feast.feast_filter_program
+
+    def spy(*args, **kw):
+        flags.append(bool(kw.get("warm")))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fast_feast, "feast_filter_program", spy)
+    ls = {"linearSolver": "minres", "linearIter": 800, "linear_tol": 1e-4,
+          "errorOnNonConvergence": False}
+
+    def run(dtype):
+        flags.clear()
+        Y = [JaxVector(Yg[:, i].astype(dtype), {"linearSystemArgs": dict(ls)})
+             for i in range(M0)]
+        feastDiagonalization(as_operator(H.astype(dtype)), Y, NC, "legendre",
+                             EMIN, EMAX, 1e-12, 7, writeOut=False,
+                             warmStartSolves=None)
+        return list(flags)
+
+    ce = feast_mod.COLD_REFRESH_EVERY
+    f32_flags = run(np.float32)
+    want32 = [bool(i > 0 and i % ce != 0) for i in range(len(f32_flags))]
+    assert f32_flags == want32, (f32_flags, want32)
+    f64_flags = run(np.float64)
+    assert f64_flags == [False] + [True] * (len(f64_flags) - 1), f64_flags
+
+
+def test_f32_auto_accuracy_within_2x_cold(problem):
+    """Oracle-gated accuracy: the f32 auto policy must land within 2x of
+    always-cold's true eigenvalue error (the VERDICT r2 item-9 gate; the
+    always-warm freeze it guards against is a factor ~150 at n=2048)."""
+    H, Yg, truth = problem
+    ls = {"linearSolver": "minres", "linearIter": 3000, "linear_tol": 1e-5,
+          "errorOnNonConvergence": False}
+
+    def run(ws):
+        Y = [JaxVector(Yg[:, i].astype(np.float32),
+                       {"linearSystemArgs": dict(ls)}) for i in range(M0)]
+        evF, _, st = feastDiagonalization(
+            as_operator(H.astype(np.float32)), Y, NC, "legendre",
+            EMIN, EMAX, 1e-5, 8, writeOut=False, warmStartSolves=ws)
+        got = np.sort(select_within_range(np.asarray(evF), EMIN, EMAX)[0])
+        assert len(got) >= len(truth)
+        return max(min(abs(got - t)) for t in truth)
+
+    err_cold = run(False)
+    err_auto = run(None)
+    assert err_auto <= 2 * err_cold + 1e-6, (err_auto, err_cold)
