@@ -456,11 +456,13 @@ sig = jnp.asarray(np.linspace(200.0, 900.0, lanes))
 def timed(Bp):
     r = minres_batch(op, Bp, sig, rtol=1e-6, atol=0.0, maxiter=400)
     np.asarray(r.x)  # compile+run
-    t0 = time.perf_counter()
-    for _ in range(2):
+    best = float("inf")
+    for _ in range(3):   # best-of-3: scheduler noise on the 2-core host
+        t0 = time.perf_counter()
         r = minres_batch(op, Bp, sig, rtol=1e-6, atol=0.0, maxiter=400)
         np.asarray(r.x)
-    return (time.perf_counter() - t0) / 2
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 t1 = timed(B)
 mesh = make_mesh(batch=8)

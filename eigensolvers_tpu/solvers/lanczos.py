@@ -342,9 +342,12 @@ def inexactLanczosDiagonalization(
             continueIteration = analyzeStatus(status, maxit, L)
 
             if saveEachIteration:
+                # per-iteration snapshots ride the native async writer when
+                # available (non-blocking; flushed before the final return)
                 checkpointing.save_checkpoint(
                     saveDir, status["cumIter"], Ylist, status,
-                    eigencoefficients=uSH, eigenvalues=ev)
+                    eigencoefficients=uSH, eigenvalues=ev,
+                    async_writer=checkpointing.default_async_writer())
 
             if not continueIteration:
                 break
@@ -414,5 +417,12 @@ def inexactLanczosDiagonalization(
     printObj.writeFile("results", ev)
     printObj.fileFooter()
     printObj.close()
+
+    if saveEachIteration:
+        w = checkpointing.default_async_writer()
+        if w is not None:
+            nerr = w.flush()      # checkpoints durable before returning
+            if nerr:
+                warnings.warn(f"async checkpoint writer: {nerr} failed writes")
 
     return ev, Ylist, status

@@ -16,6 +16,27 @@ from typing import List, Optional
 
 import numpy as np
 
+_DEFAULT_WRITER = None
+_DEFAULT_WRITER_TRIED = False
+
+
+def default_async_writer():
+    """Process-shared :class:`~eigensolvers_tpu.io.fastwriter.AsyncWriter`,
+    or None when the native library cannot be built (the sync fallback
+    inside save_checkpoint then applies).  Used by the solvers'
+    ``saveEachIteration`` paths so per-iteration checkpoints ride the
+    native worker thread by default instead of blocking the solve loop."""
+    global _DEFAULT_WRITER, _DEFAULT_WRITER_TRIED
+    if not _DEFAULT_WRITER_TRIED:
+        _DEFAULT_WRITER_TRIED = True
+        try:
+            from ..io.fastwriter import AsyncWriter
+            w = AsyncWriter()
+            _DEFAULT_WRITER = w if w.available else None
+        except Exception:
+            _DEFAULT_WRITER = None
+    return _DEFAULT_WRITER
+
 
 def save_checkpoint(saveDir: str, tag, vectors: List, status: dict,
                     eigencoefficients=None, eigenvalues=None,

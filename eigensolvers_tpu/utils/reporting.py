@@ -15,7 +15,7 @@ from datetime import datetime
 
 import numpy as np
 
-from .subspace import find_nearest
+from .subspace import find_nearest, nearest_degenerate
 from .units import au2unit
 
 
@@ -179,7 +179,11 @@ class LanczosReporter(_ReporterBase):
         elif label == "results":
             energies = convert(args[0], self.eShift, self.convertUnit)
             target = convert(self.sigma, self.eShift, self.convertUnit)
-            ev_nearest = find_nearest(energies, target)[1]
+            # warns when the final subspace carries a (near-)degenerate
+            # cluster around the target — nearest-pick results are then
+            # selection-order sensitive (reference: util_funcs.py:133-144,
+            # defined there but never wired in)
+            ev_nearest = nearest_degenerate(energies, target)[1]
             self._emit("\n\n" + "-" * 20 + "\tFINAL RESULTS\t" + "-" * 20 + "\n"
                        "All subspace eigenvalues:\n"
                        f"{energies}\n"
