@@ -39,8 +39,8 @@ def _env_right_op(R, xk_bra, Wk, xk_ket):
     """R (b_bra, w, b_ket) extended leftwards."""
     t1 = np.tensordot(xk_bra.conj(), R, axes=([2], [0]))   # (A, n, w, b_ket)
     t2 = np.tensordot(Wk, t1, axes=([1, 3], [1, 2]))       # (w_l, n_in, A, b_ket)
-    t3 = np.tensordot(t2, xk_ket, axes=([1, 3], [1, 2]))   # (w_l, A, B_ket→) wait
-    # xk_ket (B, n_in, b_ket): contract n_in and b_ket
+    # xk_ket (B, n_in, b_ket): contract its n_in and b_ket
+    t3 = np.tensordot(t2, xk_ket, axes=([1, 3], [1, 2]))   # (w_l, A, B_ket)
     return np.transpose(t3, (1, 0, 2))                     # (A_bra, w_l, B_ket)
 
 
