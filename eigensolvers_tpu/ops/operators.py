@@ -344,8 +344,13 @@ class GroupedSoPOperator(AbstractOperator):
                     if j == 0:
                         m = m * coeff
                     mats.append(m)
-                stacked.append(jnp.asarray(np.stack(mats)))
-            groups.append((modes, stacked))
+                stacked.append(np.stack(mats))
+            if len(modes) == 1:
+                # single-mode group: Σ_s c_s A_s is ONE matrix — presumming
+                # cuts both the executed FLOPs and the (S, n) intermediate
+                # traffic by S (the apply is memory-bound; see matvec)
+                stacked = [stacked[0].sum(axis=0, keepdims=True)]
+            groups.append((modes, [jnp.asarray(m) for m in stacked]))
         return cls(dims, groups, id_coeff=np.asarray(id_coeff, dtype))
 
     @property
@@ -394,6 +399,12 @@ class GroupedSoPOperator(AbstractOperator):
         return out
 
     def matvec(self, x):
+        """Per group: batched mode-wise contractions, trailing term-sum.
+        An explicit fused s+j contraction on the final mode was tried and
+        measured mildly SLOWER — XLA already fuses the broadcast and the
+        trailing reduction into the einsum epilogues, and the two-
+        contracting-dims dot forces a worse layout on the (S_g, n)
+        intermediate."""
         dims = self._dims
         xt = x.reshape(dims)
         y = self.id_coeff * xt
