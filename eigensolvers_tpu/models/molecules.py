@@ -74,3 +74,42 @@ def ch3cn_operator(N: int = 42, nModesCut: Optional[int] = None,
     op = build_sop_operator(spec, bases, dtype=dtype, term_chunk=term_chunk,
                             fuse=fuse)
     return op, spec, bases
+
+
+def ch3cn_tree():
+    """The reference's production CH3CN tree layout
+    (reference: examples/ttns2_ch3cn_Block.py:62-76 — a 3-branch tree with
+    fused 2-mode leaves and coordinate-free internal nodes, here mapped
+    onto the one-(super-)mode-per-node tree backend with dim-1 virtual
+    nodes).  Mode indices are 0-based (x1..x12 -> 0..11).
+
+    :returns: (TreeTopology, parts) — pass ``parts`` as
+        ``build_sop_operator(mode_parts=...)`` / use ``ch3cn_tree_operator``.
+    """
+    from ..vectors.ttns import tree_layout
+    layout = ([], [
+        ([], [([0], []),
+              ([4, 5], [])]),
+        ([], [([6, 7], []),
+              ([8, 9], [])]),
+        ([], [([], [([2], []),
+                    ([], [([1], []),
+                          ([3], [])])]),
+              ([], [([10, 11], [])])]),
+    ])
+    return tree_layout(layout)
+
+
+def ch3cn_tree_operator(N: int = 42, dtype=np.float64):
+    """CH3CN operator regrouped onto the production tree layout.
+
+    :returns: (GroupedSoPOperator over the tree's node dims, TreeTopology,
+        parts, bases)
+    """
+    spec = parse_op_file(CH3CN_OP)
+    assert spec.nModes == 12, spec.mode_labels
+    topo, parts = ch3cn_tree()
+    bases = [Hermite(Hermite.getOptions(N=N, representation="fbr"))
+             for _ in range(spec.nModes)]
+    op = build_sop_operator(spec, bases, dtype=dtype, mode_parts=parts)
+    return op, topo, parts, bases

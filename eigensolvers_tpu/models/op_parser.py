@@ -204,7 +204,8 @@ def build_sop_operator(spec: OpSpec, bases: Sequence[BasisBase],
                        dtype=np.float64,
                        term_chunk: Optional[int] = None,
                        group_by_support: bool = True,
-                       fuse: Optional[int] = None):
+                       fuse: Optional[int] = None,
+                       mode_parts: Optional[Sequence] = None):
     """Materialize the parsed spec as a sum-of-products operator over the
     given per-mode bases (order matching ``spec.mode_labels``).
 
@@ -226,7 +227,16 @@ def build_sop_operator(spec: OpSpec, bases: Sequence[BasisBase],
         facs = {d: np.asarray(_factor_matrix(lbl, bases[d]), dtype=dtype)
                 for d, lbl in t.factors.items()}
         term_list.append((t.coeff, facs))
-    if fuse:
+    if mode_parts is not None:
+        # arbitrary-partition regrouping (tree layouts with multi-mode
+        # leaves and dim-1 virtual nodes; see regroup_sop_terms)
+        assert not fuse, "fuse and mode_parts are mutually exclusive"
+        from ..ops.operators import regroup_sop_terms
+        dims, term_list = regroup_sop_terms(dims, term_list, mode_parts)
+        term_list = [(c, {d: np.asarray(m, dtype=dtype)
+                          for d, m in facs.items()})
+                     for c, facs in term_list]
+    elif fuse:
         from ..ops.operators import fuse_sop_terms
         dims, term_list, _ = fuse_sop_terms(dims, term_list, target=fuse)
         term_list = [(c, {d: np.asarray(m, dtype=dtype)

@@ -513,8 +513,30 @@ def fuse_sop_terms(dims: Sequence[int], terms, target: int = 256):
             prod *= int(nd)
     if cur:
         parts.append(cur)
-    fused_dims = [int(np.prod([dims[d] for d in p])) for p in parts]
-    fused_terms = []
+    fused_dims, fused_terms = regroup_sop_terms(dims, terms, parts)
+    return fused_dims, fused_terms, parts
+
+
+def regroup_sop_terms(dims: Sequence[int], terms, parts):
+    """Regroup SoP terms onto an ARBITRARY partition of the modes.
+
+    Generalizes the consecutive fusing of :func:`fuse_sop_terms`: ``parts``
+    is a list of original-mode index groups, one per new (super-)mode, in
+    any order; a group's factor is the Kronecker product of its members'
+    factors (identity for inactive members).  An EMPTY group yields a
+    dimension-1 virtual mode that no term touches — this is how MCTDH-style
+    tree layouts with internal coordinate-free nodes (the reference's CH3CN
+    tree, examples/ttns2_ch3cn_Block.py:62-76) map onto the one-mode-per-
+    node tree backend.
+
+    :returns: (new_dims, new_terms)
+    """
+    seen = sorted(d for p in parts for d in p)
+    assert seen == list(range(len(dims))), \
+        f"parts must partition modes 0..{len(dims) - 1}, got {parts}"
+    new_dims = [int(np.prod([dims[d] for d in p])) if p else 1
+                for p in parts]
+    new_terms = []
     for coeff, facs in terms:
         new_facs = {}
         for pi, p in enumerate(parts):
@@ -523,8 +545,8 @@ def fuse_sop_terms(dims: Sequence[int], terms, target: int = 256):
             mats = [np.asarray(facs[d]) if d in facs else np.eye(dims[d])
                     for d in p]
             new_facs[pi] = reduce(np.kron, mats)
-        fused_terms.append((coeff, new_facs))
-    return fused_dims, fused_terms, parts
+        new_terms.append((coeff, new_facs))
+    return new_dims, new_terms
 
 
 @jax.tree_util.register_pytree_node_class

@@ -114,6 +114,34 @@ class TreeTopology:
 parseTree = TreeTopology.from_nested   # reference-parity alias
 
 
+def tree_layout(nested):
+    """Build (topology, mode partition) from an MCTDH-style tree layout.
+
+    ``nested`` is ``(modes, children)`` per node — ``modes`` a list of
+    ORIGINAL mode indices attached to that node (often empty for internal
+    coordinate-free nodes, multi-element for fused leaves), ``children`` a
+    list of nested nodes.  Returns ``(TreeTopology, parts)`` in pre-order;
+    ``parts`` feeds :func:`~eigensolvers_tpu.ops.operators.regroup_sop_terms`
+    (or ``build_sop_operator(mode_parts=...)``) so the operator's mode grid
+    matches the tree one-node-per-(super-)mode.
+
+    This is how the reference's production tree layouts (ttns2 parseTree
+    strings with ``[x5 x6]``-style fused leaves and bare internal nodes,
+    reference: examples/ttns2_ch3cn_Block.py:62-76) map onto this backend.
+    """
+    parents = [-1]
+    parts = [list(nested[0])]
+
+    def walk(children, me):
+        for modes, sub in children:
+            parents.append(me)
+            parts.append(list(modes))
+            walk(sub, len(parents) - 1)
+
+    walk(nested[1], 0)
+    return TreeTopology(parents), parts
+
+
 # ----------------------------------------------------------------------------
 # tree tensor algebra
 # ----------------------------------------------------------------------------
@@ -305,6 +333,91 @@ class TTNO:
             ts.append(W)
         return cls(topo, ts)
 
+    @classmethod
+    def from_sop_compressed(cls, topo: TreeTopology, op,
+                            eps: float = 1e-7) -> "TTNO":
+        """Bond-COMPRESSED TTNO: per-edge ranks at the operator's tree
+        Schmidt ranks instead of the term count (tree analog of
+        :meth:`~eigensolvers_tpu.vectors.mps.MPO.from_sop_compressed`).
+
+        The term-diagonal construction's (S, n, n, S, ...) node tensors are
+        prohibitive at production term counts (CH3CN: 324 terms x 25-dim
+        2-mode leaves ≈ 0.5 GB/node), so this never materializes them.
+        Gram-matrix rank reduction, bottom-up:
+
+        * per-node term inner products ``P_i[s,s'] = <F_i,s, F_i,s'>``
+          (factors Frobenius-normalized per (node, term), the norms folded
+          into a per-term weight absorbed at the root — keeps every Gram
+          entry O(1) over deep trees);
+        * subtree Grams ``G_i = P_i ∘ Π_c G_c`` (elementwise products of
+          S x S matrices — subtree operators are never formed);
+        * per edge: ``eigh(G_i)``, keep eigenvalues > (eps²)·λ_max — the
+          Gram eigenvalues are SQUARED operator singular values, so ``eps``
+          is a σ-relative cutoff; the default 1e-7 sits well above the
+          Gram noise floor (~1e-16·λ_max, i.e. σ ~ 1e-8·σ_max) that a
+          tighter cutoff would keep as spurious rank (measured: CH3CN tree
+          ranks 47 at 1e-7 with 1e-14 apply error vs 280 of pure noise at
+          1e-12).  Basis coefficients ``B_i = U Λ^{1/2}`` (S, r_i), dual
+          ``B_i^+ = Λ^{-1/2} U^H``;
+        * node tensors ``W_i[b, o, i, b_c...] = Σ_s B_i^+[b,s] F_i,s[o,i]
+          Π_c B_c[s, b_c]`` (root: no dual, weights included).
+        """
+        factors = [np.asarray(f) for f in op.factors]
+        L = len(topo)
+        assert len(factors) == L, \
+            f"operator has {len(factors)} modes, tree has {L}"
+        S = factors[0].shape[0]
+        cdtype = np.result_type(*[f.dtype for f in factors])
+
+        # normalize factors per (node, term); fold norms into root weights
+        Fhat: List[Array] = []
+        weight = np.ones(S, cdtype)
+        for i, F in enumerate(factors):
+            nrm = np.sqrt(np.abs((F.conj() * F).sum(axis=(1, 2))))
+            nrm = np.where(nrm > 0, nrm, 1.0)
+            Fhat.append(F / nrm[:, None, None])
+            weight = weight * nrm.astype(cdtype)
+        Fhat[0] = Fhat[0] * weight[:, None, None]
+
+        P = [np.einsum("sij,tij->st", F.conj(), F) for F in Fhat]
+        # bottom-up subtree Grams and bases (children before parents)
+        G: List[Optional[Array]] = [None] * L
+        B: List[Optional[Array]] = [None] * L
+        Bplus: List[Optional[Array]] = [None] * L
+        for i in range(L - 1, 0, -1):
+            Gi = P[i].copy()
+            for c in topo.children[i]:
+                Gi = Gi * G[c]
+            Gi = (Gi + Gi.conj().T) / 2
+            lam, U = np.linalg.eigh(Gi)
+            keep = lam > max(eps ** 2 * max(float(lam[-1]), 0.0), 0.0)
+            keep[-1] = True                       # rank >= 1 always
+            lam_k = np.clip(lam[keep], 1e-300, None)
+            U_k = U[:, keep]
+            B[i] = U_k * np.sqrt(lam_k)[None, :]            # (S, r)
+            Bplus[i] = (U_k / np.sqrt(lam_k)[None, :]).conj().T  # (r, S)
+            G[i] = B[i] @ B[i].conj().T
+
+        tensors: List[Array] = []
+        for i in range(L):
+            ch = topo.children[i]
+            if i == 0:
+                ops = [Fhat[0], [0, 1, 2]]
+                out = [1, 2]
+                for j, c in enumerate(ch):
+                    ops += [B[c], [0, 10 + j]]
+                    out.append(10 + j)
+                W = np.einsum(*ops, out, optimize=True)[None]
+            else:
+                ops = [Bplus[i], [9, 0], Fhat[i], [0, 1, 2]]
+                out = [9, 1, 2]
+                for j, c in enumerate(ch):
+                    ops += [B[c], [0, 10 + j]]
+                    out.append(10 + j)
+                W = np.einsum(*ops, out, optimize=True)
+            tensors.append(np.ascontiguousarray(W))
+        return cls(topo, tensors)
+
     @property
     def dtype(self):
         return np.result_type(*[t.dtype for t in self.tensors])
@@ -378,7 +491,11 @@ class TTNSVector(MPSVector):
                 pass
         ttno = cache.get(self.topo)
         if ttno is None:
-            ttno = TTNO.from_sop(self.topo, operator)
+            # bond-compressed construction: per-edge ranks at the operator's
+            # tree Schmidt ranks instead of the term count — the difference
+            # between ~0.5 GB/node and ~1 MB/node on production .op
+            # Hamiltonians (same move as the MPS backend's _as_mpo)
+            ttno = TTNO.from_sop_compressed(self.topo, operator)
             cache[self.topo] = ttno
         return ttno
 

@@ -157,3 +157,86 @@ def test_lanczos_on_tree_with_als_solves(prob):
     want = find_nearest(ev, sigma)[1]
     assert abs(got - want) / abs(want) <= 1e-5
     assert st["isConverged"]
+
+
+def test_compressed_ttno_matches_dense(prob):
+    """Gram-based bond-compressed TTNO reproduces the operator exactly and
+    its apply/sandwich match the term-diagonal construction."""
+    from eigensolvers_tpu.vectors.ttns import ttns_dense
+
+    topo = prob["topo"]
+    tt = TTNO.from_sop_compressed(topo, prob["op"])
+    x = ttns_random(topo, DIMS, maxD=5, seed=7)
+    xd = ttns_dense(topo, x)
+    y = ttns_dense(topo, tt.apply(x))
+    want = prob["H"] @ xd
+    assert np.linalg.norm(y - want) / np.linalg.norm(want) < 1e-12
+    a = ttns_random(topo, DIMS, maxD=4, seed=8)
+    sw = tt.sandwich(a, x)
+    ref = np.vdot(ttns_dense(topo, a), want)
+    assert abs(sw - ref) / abs(ref) < 1e-12
+
+
+def test_tree_layout_and_regroup():
+    """MCTDH-style layouts (multi-mode leaves + dim-1 virtual internal
+    nodes) map onto the tree backend; the regrouped operator matches the
+    original on the dense level."""
+    from eigensolvers_tpu.ops.operators import regroup_sop_terms
+    from eigensolvers_tpu.vectors.ttns import tree_layout, ttns_dense
+
+    dims = [2, 3, 2, 3]
+    terms = random_sop_terms(nDim=4, dims=dims, nSum=3, seed=3)
+    op = SumOfProductOperator.from_terms(4, dims, terms)
+    H = np.asarray(op.to_dense())
+
+    # root(virtual) -> { leaf[modes 0,1], virtual -> { leaf[2], leaf[3] } }
+    topo, parts = tree_layout(([], [([0, 1], []), ([], [([2], []),
+                                                       ([3], [])])]))
+    assert topo.parents == (-1, 0, 0, 2, 2)
+    assert parts == [[], [0, 1], [], [2], [3]]
+    new_dims, new_terms = regroup_sop_terms(dims, terms, parts)
+    assert new_dims == [1, 6, 1, 2, 3]
+    op2 = SumOfProductOperator.from_terms(5, new_dims, new_terms)
+    # mode ORDER changed (regrouping is a permutation+fusion); compare via
+    # the permuted dense operator
+    perm = [0, 1, 2, 3]      # original modes in regrouped order
+    H2 = np.asarray(op2.to_dense())
+    np.testing.assert_allclose(H2, H, atol=1e-12)
+
+    tt = TTNO.from_sop_compressed(topo, op2)
+    x = ttns_random(topo, new_dims, maxD=4, seed=5)
+    y = ttns_dense(topo, tt.apply(x))
+    np.testing.assert_allclose(y, H @ ttns_dense(topo, x), atol=1e-10)
+
+
+@pytest.mark.slow
+def test_ch3cn_production_tree_dmrg():
+    """The reference's production CH3CN TREE layout end-to-end
+    (reference: examples/ttns2_ch3cn_Block.py:62-76): regroup the 12-mode
+    operator onto the 15-node tree (fused 2-mode leaves, dim-1 virtual
+    nodes), compress the TTNO to its tree Schmidt ranks, and run the tree
+    DMRG eigensweep — the ZPVE must agree with the chain-MPS DMRG at the
+    same basis to ~0.2 cm-1 (and with the N=42 production value 9837.4069
+    to ~1 cm-1 even at this reduced N=6 basis)."""
+    from eigensolvers_tpu.models.molecules import (ch3cn_operator,
+                                                   ch3cn_tree_operator)
+    from eigensolvers_tpu.utils.units import au2unit
+    from eigensolvers_tpu.vectors.mps import MPO
+    from eigensolvers_tpu.vectors.mps_sweeps import dmrg_eigensolve
+
+    N = 6
+    op, topo, parts, bases = ch3cn_tree_operator(N=N)
+    dims = [int(np.prod([N] * len(p))) if p else 1 for p in parts]
+    tt = TTNO.from_sop_compressed(topo, op)
+    assert max(t.shape[0] for t in tt.tensors) <= 80   # tree Schmidt ranks
+    es, xs = tree_dmrg_eigensolve(topo, tt.tensors, dims, nStates=1,
+                                  maxD=8, nSweep=6, convTol=1e-9, seed=1)
+    zpve_tree = float(au2unit(es[0], "cm-1"))
+
+    opc, _, _ = ch3cn_operator(N=N)
+    mpo = MPO.from_sop_compressed(opc)
+    esc, _ = dmrg_eigensolve(mpo.tensors, [N] * 12, nStates=1, maxD=8,
+                             nSweep=6, convTol=1e-9, seed=1)
+    zpve_chain = float(au2unit(esc[0], "cm-1"))
+    assert abs(zpve_tree - zpve_chain) < 0.3, (zpve_tree, zpve_chain)
+    assert abs(zpve_tree - 9837.4069) < 1.0, zpve_tree
