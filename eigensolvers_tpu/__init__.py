@@ -55,7 +55,10 @@ from .utils.subspace import (
 from .utils.quadrature import quadraturePointsWeights
 from .parallel.sharded import ShardedVector
 from .vectors.mps import MPSVector, MPO
-from .vectors.ttns import TTNSVector, TTNO, TreeTopology, parseTree
+from .vectors.ttns import (TTNSVector, TTNO, TreeTopology, parseTree,
+                           tree_layout)
+from .vectors.mps_sweeps import als_solve, dmrg_eigensolve
+from .vectors.ttns_sweeps import tree_als_solve, tree_dmrg_eigensolve
 from .vectors.numpy_backend import NumpyVector
 
 __version__ = "0.1.0"
@@ -75,6 +78,11 @@ __all__ = [
     "TTNO",
     "TreeTopology",
     "parseTree",
+    "tree_layout",
+    "als_solve",
+    "dmrg_eigensolve",
+    "tree_als_solve",
+    "tree_dmrg_eigensolve",
     "NumpyVector",
     "LINDEP_DEFAULT_VALUE",
     "as_operator",
