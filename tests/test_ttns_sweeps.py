@@ -240,3 +240,19 @@ def test_ch3cn_production_tree_dmrg():
     zpve_chain = float(au2unit(esc[0], "cm-1"))
     assert abs(zpve_tree - zpve_chain) < 0.3, (zpve_tree, zpve_chain)
     assert abs(zpve_tree - 9837.4069) < 1.0, zpve_tree
+
+
+def test_tree_als_complex_shift(prob):
+    """Complex shifted solve (z - H) x = b on the tree — the FEAST contour
+    regime (reference feast.py:93-101 runs these through the sweep solver
+    on trees)."""
+    topo, H = prob["topo"], prob["H"]
+    z = 2.0 + 0.35j
+    b = ttns_random(topo, DIMS, maxD=5, seed=9)
+    bd = ttns_dense(topo, b)
+    xt = tree_als_solve(topo, prob["ttno"].tensors, b, z, maxD=80,
+                        eps=1e-12, nSweep=20, convTol=1e-10,
+                        local_tol=1e-10)
+    want = np.linalg.solve(z * np.eye(H.shape[0]) - H, bd)
+    err = np.linalg.norm(ttns_dense(topo, xt) - want) / np.linalg.norm(want)
+    assert err < 1e-8, err
