@@ -51,10 +51,11 @@ from ..ops.linear_solvers import _splitc_batch_jit
 __all__ = ["feast_filter_program"]
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter", "precond", "warm"))
+@functools.partial(jax.jit, static_argnames=("maxiter", "precond", "warm",
+                                             "escalate"))
 def feast_filter_program(op, Ybase, C, sig_re, sig_im, mult_re, mult_im,
                          ritz_ev, rtol, atol, maxiter, precond=None,
-                         warm=False):
+                         warm=False, escalate=3):
     """One fused FEAST iteration: basis rotation + contour solves +
     quadrature accumulation + subspace assembly.
 
@@ -116,7 +117,7 @@ def feast_filter_program(op, Ybase, C, sig_re, sig_im, mult_re, mult_im,
     else:
         X0 = jnp.zeros((nk * m0, 2 * n), B.dtype)
     res = _splitc_batch_jit(op, B, sre, sim, X0, rtol, atol, 1.0,
-                            maxiter, precond=precond)
+                            maxiter, precond=precond, escalate=escalate)
     X = res.x                                            # (nk*m0, 2, n)
     Xr = X[:, 0, :].reshape(nk, m0, n)
     Xi = X[:, 1, :].reshape(nk, m0, n)

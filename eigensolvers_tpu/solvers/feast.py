@@ -293,6 +293,9 @@ def _feast_loop_fused(A, Y, gk, wk, thetas, zs, eRadius,
     ritz = np.zeros(N_SUBSPACE)
     maxiter = int(opts["linearIter"])
     precond = opts.get("preconditioner")
+    # lane-level escalation factor for stagnating contour solves (see
+    # ops/linear_solvers.py::gmres_splitc_batch)
+    escalate = int(opts.get("escalateIter", 3))
     errNC = opts.get("errorOnNonConvergence", True)
     ev = np.full(N_SUBSPACE, np.nan)
     ref_ev = None
@@ -310,7 +313,7 @@ def _feast_loop_fused(A, Y, gk, wk, thetas, zs, eRadius,
                 mult_im, jnp.asarray(ritz.astype(rdtype)),
                 jnp.asarray(opts["linear_tol"] * scale, rdtype),
                 jnp.asarray(opts["linear_atol"] * scale, rdtype),
-                maxiter, precond=precond, warm=warm)
+                maxiter, precond=precond, warm=warm, escalate=escalate)
             # one host transfer for everything the host-side RR needs
             Smat, Hmat, resn_h, iters_h, conv_h = jax.device_get(
                 (S, Hm, resn, iters, conv))

@@ -487,7 +487,8 @@ class JaxVector(AbstractVector):
             rtol=opts["linear_tol"] * rtol_scale,
             atol=opts["linear_atol"] * rtol_scale,
             restart=opts["gmresRestart"], maxiter=opts["linearIter"],
-            reverseGF=reverseGF, precond=opts.get("preconditioner"))
+            reverseGF=reverseGF, precond=opts.get("preconditioner"),
+            escalate=int(opts.get("escalateIter", 3)))
         conv_a, resn_a, its_a = jax.device_get(
             (res.converged, res.resnorm, res.iterations))
         if report is not None:
@@ -550,7 +551,8 @@ class JaxVector(AbstractVector):
             op, B, [complex(sigma)], x0s=X0,
             rtol=opts["linear_tol"], atol=opts["linear_atol"],
             maxiter=opts["linearIter"], reverseGF=reverseGF,
-            precond=opts.get("preconditioner"))
+            precond=opts.get("preconditioner"),
+            escalate=int(opts.get("escalateIter", 3)))
         conv, resnorm, iters = jax.device_get(
             (res.converged[0], res.resnorm[0], res.iterations[0]))
         if not bool(conv):

