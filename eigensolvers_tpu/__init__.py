@@ -60,6 +60,8 @@ from .vectors.ttns import (TTNSVector, TTNO, TreeTopology, parseTree,
 from .vectors.mps_sweeps import als_solve, dmrg_eigensolve
 from .vectors.ttns_sweeps import tree_als_solve, tree_dmrg_eigensolve
 from .vectors.numpy_backend import NumpyVector
+from .config import (VectorOptions, LinearSystemOptions, CompressOptions,
+                     LanczosConfig, FeastConfig, normalize_options)
 
 __version__ = "0.1.0"
 
@@ -100,4 +102,10 @@ __all__ = [
     "lowdinOrthoMatrix",
     "select_within_range",
     "quadraturePointsWeights",
+    "VectorOptions",
+    "LinearSystemOptions",
+    "CompressOptions",
+    "LanczosConfig",
+    "FeastConfig",
+    "normalize_options",
 ]

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .abstract import AbstractVector, LINDEP_DEFAULT_VALUE
+from ..config import normalize_options
 from ..ops.operators import as_operator
 from ..ops import linear_solvers as ls
 
@@ -175,7 +176,7 @@ class JaxVector(AbstractVector):
 
     def __init__(self, array, options: Optional[dict] = None):
         self.array = jnp.asarray(array)
-        options = dict(options) if options else {}
+        options = normalize_options(options)
         # Same option surface and defaults as the reference dense backend
         # (reference: numpyVector.py:29-36).
         opt = dict(options.get("linearSystemArgs", {}))

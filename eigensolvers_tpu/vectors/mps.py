@@ -38,6 +38,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from .abstract import AbstractVector, LINDEP_DEFAULT_VALUE
+from ..config import normalize_options
 from ..ops.operators import SumOfProductOperator
 
 
@@ -346,7 +347,7 @@ class MPSVector(AbstractVector):
 
     def __init__(self, tensors: List[Array], options: Optional[dict] = None):
         self.tensors = [np.asarray(t) for t in tensors]
-        options = dict(options) if options else {}
+        options = normalize_options(options)
         comp = dict(options.get("compressArgs", {}))
         comp.setdefault("maxD", 64)
         comp.setdefault("eps", 1e-10)

@@ -20,6 +20,7 @@ import numpy as np
 import scipy.sparse.linalg as spla
 
 from .abstract import AbstractVector, LINDEP_DEFAULT_VALUE
+from ..config import normalize_options
 
 
 class NumpyVector(AbstractVector):
@@ -27,7 +28,7 @@ class NumpyVector(AbstractVector):
 
     def __init__(self, array, options: Optional[dict] = None):
         self.array = np.asarray(array)
-        options = dict(options) if options else {}
+        options = normalize_options(options)
         opt = dict(options.get("linearSystemArgs", {}))
         opt.setdefault("linearSolver", "minres")
         opt.setdefault("linearIter", 1000)
