@@ -33,17 +33,6 @@ class KrylovStepResult(NamedTuple):
     lindep_flags: jax.Array    # (nBlock,) True where orthogonalization collapsed
 
 
-def _cgs2(w, V, mask):
-    """Two-pass classical Gram-Schmidt of w against masked rows of V;
-    returns (orthogonalized w, squared norm)."""
-    h1 = (V.conj() @ w) * mask
-    w = w - V.T @ h1
-    h2 = (V.conj() @ w) * mask
-    w = w - V.T @ h2
-    nrm2 = jnp.real(jnp.vdot(w, w))
-    return w, nrm2
-
-
 @functools.partial(jax.jit, static_argnames=("maxiter", "solver", "precond",
                                               "restart"))
 def block_krylov_step(op, V, nvec, seeds, sigma, rtol, maxiter=200,
@@ -86,26 +75,66 @@ def block_krylov_step(op, V, nvec, seeds, sigma, rtol, maxiter=200,
 
     xs, resnorms = jax.vmap(solve_one)(seeds)
 
-    # Orthogonalize the block vectors against the basis and each other.
-    # nBlock is small and static → unrolled loop, all inside one program.
+    # Orthogonalize the block vectors against the basis and each other —
+    # batched collective schedule: the per-vector unrolled CGS2 loop cost
+    # 3 all-reduces PER block vector on a state-sharded mesh (2 projection
+    # matmuls + 1 norm); here ALL nBlock vectors project against the basis
+    # in ONE (M, nBlock) matmul per CGS pass (2 all-reduces total,
+    # independent of nBlock), and the mutual orthonormalization runs as a
+    # masked CholQR on the replicated (nBlock, nBlock) Gram matrix — one
+    # all-reduce for the Gram, then only local small-matrix arithmetic.
+    # Same semantics: the Cholesky pivot d_i is exactly the squared norm of
+    # x_i orthogonalized against the basis AND the previous block vectors,
+    # so the lindep test (d_i > lindep -> else zero row + flag) matches the
+    # sequential path's ``nrm2 > lindep``.
     row_ids = jnp.arange(M)
-    newV = jnp.zeros((nBlock, n), V.dtype)
-    lindep_flags = jnp.zeros((nBlock,), bool)
+    mask = (row_ids < nvec).astype(V.dtype)
+    X = xs.astype(V.dtype)
+    for _ in range(2):                     # CGS2 against the existing basis
+        Hproj = (V.conj() @ X.T) * mask[:, None]   # one all-reduce
+        X = X - (V.T @ Hproj).T
+    G = X.conj() @ X.T                     # (nBlock, nBlock): one all-reduce
+
+    # masked Cholesky G = L L^H with lindep pivots skipped (replicated)
+    L = jnp.zeros((nBlock, nBlock), V.dtype)
+    oks = []
+    for i in range(nBlock):
+        d = jnp.real(G[i, i])
+        for k in range(i):
+            d = d - jnp.abs(L[i, k]) ** 2
+        ok = d > lindep
+        oks.append(ok)
+        lii = jnp.sqrt(jnp.where(ok, d, 1.0)).astype(V.dtype)
+        L = L.at[i, i].set(jnp.where(ok, lii, 1.0))
+        for j in range(i + 1, nBlock):
+            s = G[j, i]
+            for k in range(i):
+                s = s - L[j, k] * L[i, k].conj()
+            L = L.at[j, i].set(jnp.where(ok, s / L[i, i], 0.0))
+    lindep_flags = jnp.stack([~o for o in oks])
+
+    # W = L^{-1} X by forward substitution (local: L replicated, X sharded)
+    rows = []
+    for i in range(nBlock):
+        w = X[i]
+        for k in range(i):
+            w = w - L[i, k] * rows[k]
+        w = w / L[i, i]
+        rows.append(jnp.where(oks[i], 1.0, 0.0) * w)
+    newV = jnp.stack(rows)
+
+    # insert the new rows into the padded basis (local select ops)
     Vwork = V
     nv = nvec
     for i in range(nBlock):
-        mask = (row_ids < nv).astype(V.dtype)
-        w, nrm2 = _cgs2(xs[i].astype(V.dtype), Vwork, mask)
-        ok = nrm2 > lindep
-        w = jnp.where(ok, w / jnp.sqrt(jnp.where(ok, nrm2, 1.0)), 0.0)
-        newV = newV.at[i].set(w)
-        lindep_flags = lindep_flags.at[i].set(~ok)
-        Vwork = jnp.where((row_ids == nv)[:, None], w[None, :], Vwork)
-        nv = nv + jnp.where(ok, 1, 0)
+        Vwork = jnp.where((row_ids == nv)[:, None], newV[i][None, :], Vwork)
+        nv = nv + jnp.where(oks[i], 1, 0)
 
-    # New S/H columns against the extended basis (padded length M):
+    # New S/H columns against the extended basis (padded length M), both
+    # column families through ONE stacked matmul (one all-reduce):
     # s_cols[i, j] = <v_j | w_i>, h_cols[i, j] = <v_j | H w_i>
     AV = jax.vmap(op.matvec)(newV)
-    s_cols = (Vwork.conj() @ newV.T).T
-    h_cols = (Vwork.conj() @ AV.T).T
+    C = Vwork.conj() @ jnp.concatenate([newV, AV], axis=0).T   # (M, 2*nBlock)
+    s_cols = C[:, :nBlock].T
+    h_cols = C[:, nBlock:].T
     return KrylovStepResult(newV, h_cols, s_cols, resnorms, lindep_flags)
