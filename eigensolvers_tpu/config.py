@@ -135,6 +135,7 @@ class LanczosConfig:
     saveEachIteration: bool = False
     saveDir: str = "saveKrylov"
     batchBlockSolves: bool = True
+    thickRestart: bool = True
 
     def run(self, H, v0, pick=None, status=None, Hsolve=None):
         from .solvers.lanczos import inexactLanczosDiagonalization

