@@ -310,8 +310,9 @@ class MPO:
         return E[0, 0, 0]
 
 
-def _as_mpo(operator) -> MPO:
-    """Coerce to a bond-COMPRESSED MPO, cached on the operator object.
+def _as_mpo(operator, eps=None) -> MPO:
+    """Coerce to a bond-COMPRESSED MPO, cached on the operator object
+    (keyed by the compression cutoff ``eps``; None = class default).
 
     The term-diagonal construction has bond = nSum (324 for the CH3CN .op
     Hamiltonian) while the operator's Schmidt rank after lossless compression
@@ -321,13 +322,18 @@ def _as_mpo(operator) -> MPO:
     assembly; VERDICT r1 weak item 7)."""
     if isinstance(operator, MPO):
         return operator
-    mpo = getattr(operator, "_mpo_cache", None)
-    if mpo is None:
-        mpo = MPO.from_sop_compressed(operator)
+    cache = getattr(operator, "_mpo_cache", None)
+    if not isinstance(cache, dict):
+        cache = {}
         try:
-            operator._mpo_cache = mpo
+            operator._mpo_cache = cache
         except Exception:  # pragma: no cover - exotic operator types
             pass
+    mpo = cache.get(eps)
+    if mpo is None:
+        kw = {} if eps is None else {"eps": float(eps)}
+        mpo = MPO.from_sop_compressed(operator, **kw)
+        cache[eps] = mpo
     return mpo
 
 
@@ -386,7 +392,11 @@ class MPSVector(AbstractVector):
         return mps_compress(ts, maxD=maxD, eps=eps)
 
     def _mpo(self, operator):
-        return _as_mpo(operator)
+        # compressArgs["operatorEps"] overrides the operator-compression
+        # cutoff (None/absent = class default, near-lossless 1e-12)
+        return _as_mpo(operator,
+                       eps=self.options.get("compressArgs", {})
+                       .get("operatorEps"))
 
     def _als_solve_t(self, mpo, bt, sigma, x0t, sign, **kw):
         """Two-site ALS sweep solve in raw-tensor space (chain engine;

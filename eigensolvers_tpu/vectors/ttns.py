@@ -390,7 +390,18 @@ class TTNO:
                 Gi = Gi * G[c]
             Gi = (Gi + Gi.conj().T) / 2
             lam, U = np.linalg.eigh(Gi)
-            keep = lam > max(eps ** 2 * max(float(lam[-1]), 0.0), 0.0)
+            top = max(float(lam[-1]), 0.0)
+            if top <= 1e-300:
+                # Operator factors vanish on this whole subtree (top Gram
+                # eigenvalue ~ 0): emit a clean rank-1 zero bond.  The old
+                # keep[-1]=True + clip(1e-300) path would invert the ~0
+                # eigenvalue into ~1e150 entries in Bplus and poison the
+                # node tensors with inf/garbage.
+                B[i] = np.zeros((Gi.shape[0], 1), Gi.dtype)
+                Bplus[i] = np.zeros((1, Gi.shape[0]), Gi.dtype)
+                G[i] = np.zeros_like(Gi)
+                continue
+            keep = lam > eps ** 2 * top
             keep[-1] = True                       # rank >= 1 always
             lam_k = np.clip(lam[keep], 1e-300, None)
             U_k = U[:, keep]
@@ -489,14 +500,20 @@ class TTNSVector(MPSVector):
                 operator._ttno_cache = cache
             except Exception:  # pragma: no cover
                 pass
-        ttno = cache.get(self.topo)
+        # operator-compression cutoff is caller-controllable: callers that
+        # need better than the default ~1e-7*sigma_max operator fidelity
+        # set compressArgs["operatorEps"] (None/absent = class default)
+        eps = self.options.get("compressArgs", {}).get("operatorEps")
+        key = (self.topo, eps)
+        ttno = cache.get(key)
         if ttno is None:
             # bond-compressed construction: per-edge ranks at the operator's
             # tree Schmidt ranks instead of the term count — the difference
             # between ~0.5 GB/node and ~1 MB/node on production .op
             # Hamiltonians (same move as the MPS backend's _as_mpo)
-            ttno = TTNO.from_sop_compressed(self.topo, operator)
-            cache[self.topo] = ttno
+            kw = {} if eps is None else {"eps": float(eps)}
+            ttno = TTNO.from_sop_compressed(self.topo, operator, **kw)
+            cache[key] = ttno
         return ttno
 
     def _als_solve_t(self, mpo, bt, sigma, x0t, sign, **kw):

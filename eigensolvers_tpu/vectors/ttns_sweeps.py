@@ -431,8 +431,12 @@ def _tree_dmrg_one_state(topo, ttno_tensors, dims, x0, lower_states,
         x = ttns_random(topo, dims, maxD or 8, seed=seed, dtype=dtype)
 
     if L == 1:
+        # dense eigh gives all states: the k-th excited state is column k
+        # (returning column 0 regardless would silently duplicate the
+        # ground state for every requested state when nStates > 1)
         ev, uv = np.linalg.eigh(W[0][0])
-        return float(ev[0]), [uv[:, 0][None]]
+        k = min(len(lower_states), uv.shape[1] - 1)
+        return float(ev[k]), [uv[:, k][None]]
 
     _canonicalize_to_root(topo, x)
     nrm = np.sqrt(abs(ttns_vdot(topo, x, x)))

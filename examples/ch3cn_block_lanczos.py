@@ -60,7 +60,8 @@ def main():
     es, xs = dmrg_eigensolve(mpo.tensors, [N] * 12, nStates=N_BLOCK,
                              maxD=maxD, nSweep=4, convTol=1e-8, seed=898989)
     zpve = float(au2unit(es[0], "cm-1"))
-    print(f"# DMRG guesses: {[f'{float(au2unit(e, 'cm-1')):.2f}' for e in es]}"
+    guesses_cm1 = [f"{float(au2unit(e, 'cm-1')):.2f}" for e in es]
+    print(f"# DMRG guesses: {guesses_cm1}"
           f" cm-1 (zpve {zpve:.4f}; production reference 9837.4069)"
           f" [{time.time() - t1:.0f}s]")
 
