@@ -982,11 +982,10 @@ def main(only=None):
     cpu_reserve = sum(worst[n] for n in cpu_names) + 15
 
     # ---- phase 0: tunnel health probe (child; staged deadlines) ----------
-    tpu_ok, pinfo = True, {}
-    if tpu_names:
+    def run_probe():
         init_budget = max(90, int(2 * float(cache.get("probe_init_s", 45))))
-        tpu_ok, pinfo = _probe(init_deadline_s=init_budget, io_deadline_s=30)
-        if tpu_ok:
+        ok, pinfo = _probe(init_deadline_s=init_budget, io_deadline_s=30)
+        if ok:
             meta.update({"platform": pinfo.get("platform"),
                          "device": pinfo.get("device")})
             _update_cache(lambda c: c.__setitem__(
@@ -997,6 +996,31 @@ def main(only=None):
             meta.update({"platform": "degraded",
                          "probe_diagnosis": pinfo.get("diagnosis")})
             _log(f"# PROBE FAILED: {pinfo.get('diagnosis')}")
+        return ok, pinfo
+
+    tpu_ok, pinfo = (True, {}) if not tpu_names else run_probe()
+
+    def run_cpu_phase():
+        for n in cpu_names:
+            if left() < 10:
+                _log(f"# skip {n}: budget exhausted")
+                continue
+            alarm = min(worst[n], max(10, int(left())))
+            results, _ = _run_group([n], {n: alarm}, left() + 5,
+                                    init_margin_s=30, on_metric=on_metric)
+            for nm, ok, dt in results:
+                if ok and dt:
+                    _update_cache(lambda c: c.setdefault(
+                        "durations", {}).__setitem__(nm, dt))
+
+    cpu_done = False
+    if tpu_names and not tpu_ok:
+        # second chance for a FLAPPING tunnel (observed: fetch health
+        # changing on ~1-minute timescales): use the CPU phase as the wait,
+        # then re-probe before giving up on the device benches entirely
+        run_cpu_phase()
+        cpu_done = True
+        tpu_ok, pinfo = run_probe()
 
     # ---- phase 1: device benches in monitored child groups ----------------
     init_margin = max(75, int(2 * float(pinfo.get("init_s") or 45)))
@@ -1040,17 +1064,8 @@ def main(only=None):
             break                   # child finished everything it was given
 
     # ---- phase 2: CPU-only benches (jax-free child; tunnel-proof) ---------
-    for n in cpu_names:
-        if left() < 10:
-            _log(f"# skip {n}: budget exhausted")
-            continue
-        alarm = min(worst[n], max(10, int(left())))
-        results, hung = _run_group([n], {n: alarm}, left() + 5,
-                                   init_margin_s=30, on_metric=on_metric)
-        for nm, ok, dt in results:
-            if ok and dt:
-                _update_cache(lambda c: c.setdefault(
-                    "durations", {}).__setitem__(nm, dt))
+    if not cpu_done:
+        run_cpu_phase()
 
     # ---- final artifact + tail re-prints ---------------------------------
     _write_results(metrics, meta)
