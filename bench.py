@@ -205,8 +205,11 @@ def bench_tpu_smoke():
             c = int(idx[r, j])
             y_ref[r * B:(r + 1) * B] += \
                 data[r, j].astype(np.float64) @ x[c * B:(c + 1) * B]
+    # ONE fetch per smoke part (the degraded-tunnel mode is per-RPC
+    # latency of tens of seconds, so the smoke must be fetch-lean): the
+    # timing is compile-inclusive — its job is numerics evidence, and the
+    # persisted .jax_cache keeps the compile term small on later rounds.
     xd = jnp.asarray(x)
-    y = np.asarray(op.matvec(xd))            # compile + run + fetch
     t0 = time.perf_counter()
     y = np.asarray(op.matvec(xd))
     dt = time.perf_counter() - t0
@@ -214,7 +217,7 @@ def bench_tpu_smoke():
     assert err < 3e-5, f"BSR smoke precision: rel err {err:.2e}"
     emit("tpu_smoke_bsr_matvec", dt * 1e3, "ms", 1.0, rel_err=err,
          platform=plat, note="Pallas block-ELL matvec, real lowering, "
-                             "host-oracle gated")
+                             "host-oracle gated; compile-inclusive")
 
     # 2) fused block-Krylov step (the framework's "training step")
     ns = 512
@@ -228,8 +231,6 @@ def bench_tpu_smoke():
     V[:nBlock] = v0
     args = (dop, jnp.asarray(V), jnp.asarray(nBlock), jnp.asarray(v0),
             jnp.asarray(50.0, jnp.float32), jnp.asarray(1e-3, jnp.float32))
-    out = block_krylov_step(*args, maxiter=100)
-    nv = np.asarray(out.new_vectors)         # fetch
     t0 = time.perf_counter()
     out = block_krylov_step(*args, maxiter=100)
     nv = np.asarray(out.new_vectors)
@@ -244,9 +245,6 @@ def bench_tpu_smoke():
     # 3) split-complex batched MINRES (the FEAST contour-solve kernel)
     sig = np.array([30.0 + 2.0j, 50.0 + 1.0j, 70.0 + 4.0j, 90.0 + 2.5j])
     Bs = rng.rand(4, ns).astype(np.float32)
-    res = gmres_splitc_batch(dop, jnp.asarray(Bs), sig, rtol=1e-5,
-                             maxiter=400, precond="jacobi")
-    X = np.asarray(res.x)                    # fetch
     t0 = time.perf_counter()
     res = gmres_splitc_batch(dop, jnp.asarray(Bs), sig, rtol=1e-5,
                              maxiter=400, precond="jacobi")
@@ -727,7 +725,14 @@ def _child_main(spec: str) -> int:
     # a jax-free child survives any tunnel state (the CPU-only metric path)
     if any(n != "sharding_overhead_x8" for n, _ in items):
         _configure_jax()
+    consecutive_timeouts = 0
     for name, alarm in items:
+        if consecutive_timeouts >= 2:
+            # two benches in a row burned their full alarm: the tunnel is
+            # fetch-crawling — later benches would only burn budget too
+            _log(f"# skip {name}: 2 consecutive bench timeouts "
+                 f"(degraded tunnel)")
+            continue
         fn = BENCH_FNS[name]
         if os.environ.get("BENCH_WEDGE_BENCH") == name:
             # test hook: simulate the round-3 failure mode — a fetch blocked
@@ -748,6 +753,12 @@ def _child_main(spec: str) -> int:
         try:
             fn()
             _log(f"# {name}: {time.perf_counter() - t0:.1f}s")
+            consecutive_timeouts = 0
+        except TimeoutError as e:
+            ok, err = False, f"TimeoutError: {e}"
+            consecutive_timeouts += 1
+            _log(f"# {name} FAILED after {time.perf_counter() - t0:.1f}s: "
+                 f"{err}")
         except Exception as e:
             ok, err = False, f"{type(e).__name__}: {e}"
             _log(f"# {name} FAILED after {time.perf_counter() - t0:.1f}s: "
@@ -981,7 +992,15 @@ def main(only=None):
     cpu_names = [n for n, _, _, needs in specs if not needs]
     cpu_reserve = sum(worst[n] for n in cpu_names) + 15
 
-    # ---- phase 0: tunnel health probe (child; staged deadlines) ----------
+    # ---- probe: diagnosis + second-chance only (NOT a pre-gate) ----------
+    # The tunnel is effectively single-client with slow server-side session
+    # reclaim: a successful probe client can itself consume the healthy
+    # window, wedging the very next client (observed: standalone probe ok
+    # at t+0, orchestrator probe wedged at t+90s).  So the device-bench
+    # child goes FIRST — its opening tpu_smoke doubles as the in-client
+    # health check, and the whole group rides ONE client.  The separate
+    # probe only runs after a hang, for a staged diagnosis and a second
+    # chance once the CPU phase has given the tunnel time to recover.
     def run_probe():
         init_budget = max(90, int(2 * float(cache.get("probe_init_s", 45))))
         ok, pinfo = _probe(init_deadline_s=init_budget, io_deadline_s=30)
@@ -998,8 +1017,6 @@ def main(only=None):
             _log(f"# PROBE FAILED: {pinfo.get('diagnosis')}")
         return ok, pinfo
 
-    tpu_ok, pinfo = (True, {}) if not tpu_names else run_probe()
-
     def run_cpu_phase():
         for n in cpu_names:
             if left() < 10:
@@ -1013,24 +1030,13 @@ def main(only=None):
                     _update_cache(lambda c: c.setdefault(
                         "durations", {}).__setitem__(nm, dt))
 
-    cpu_done = False
-    if tpu_names and not tpu_ok:
-        # second chance for a FLAPPING tunnel (observed: fetch health
-        # changing on ~1-minute timescales): use the CPU phase as the wait,
-        # then re-probe before giving up on the device benches entirely
-        run_cpu_phase()
-        cpu_done = True
-        tpu_ok, pinfo = run_probe()
-
     # ---- phase 1: device benches in monitored child groups ----------------
-    init_margin = max(75, int(2 * float(pinfo.get("init_s") or 45)))
-    pending = list(tpu_names) if tpu_ok else []
-    if tpu_names and not tpu_ok:
-        for n in tpu_names:
-            _log(f"# skip {n}: tunnel unhealthy")
+    init_margin = max(75, int(2 * float(cache.get("probe_init_s", 45))))
+    pending = list(tpu_names)
+    cpu_done = False
     consecutive_hangs = 0
     while pending and consecutive_hangs < 2:
-        group_budget = left() - cpu_reserve
+        group_budget = left() - (0 if cpu_done else cpu_reserve)
         # pre-fit: drop benches the remaining budget cannot cover
         fit, acc = [], init_margin
         for n in pending:
@@ -1050,17 +1056,27 @@ def main(only=None):
                 durations[n] = dt
         _update_cache(lambda c: c.setdefault("durations", {}).update(
             {n: dt for n, ok, dt in results if ok and dt}))
-        if hung and hung in fit:
-            done.add(hung)          # never retry a hung bench this run
+        if hung:
+            if hung in fit:
+                done.add(hung)      # never retry a hung bench this run
             consecutive_hangs += 1
-            _log(f"# {hung} hung and was killed; "
-                 f"{'giving up on device benches' if consecutive_hangs >= 2 else 'relaunching child for the rest'}")
-        elif hung:
-            consecutive_hangs += 1  # hung during child startup
+            pending = [n for n in pending if n not in done]
+            _log(f"# '{hung}' hung and was killed "
+                 f"(consecutive hangs: {consecutive_hangs})")
+            if consecutive_hangs < 2 and pending:
+                # give the tunnel recovery time: run the tunnel-proof CPU
+                # phase now, then diagnose with the staged probe; relaunch
+                # only if the probe clears
+                if not cpu_done:
+                    run_cpu_phase()
+                    cpu_done = True
+                ok, _ = run_probe()
+                if not ok:
+                    _log("# tunnel still wedged after CPU phase; "
+                         "giving up on remaining device benches")
+                    break
         else:
-            consecutive_hangs = 0
-        pending = [n for n in pending if n not in done]
-        if not hung:
+            pending = [n for n in pending if n not in done]
             break                   # child finished everything it was given
 
     # ---- phase 2: CPU-only benches (jax-free child; tunnel-proof) ---------
