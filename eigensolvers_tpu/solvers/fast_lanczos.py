@@ -49,6 +49,7 @@ from ..utils import checkpointing
 from ..vectors.abstract import AbstractVector
 from ..vectors.dense import JaxVector, _pad_rows
 from .step import block_krylov_step
+from ..ops.linear_solvers import _HI
 from .lanczos import analyzeStatus, checkConvergence
 
 
@@ -68,7 +69,7 @@ def _pack_step_outputs(out):
 def _restart_kernel(V, coeffs):
     """New guesses from Ritz coefficients: (nBlock, n) = coeffs^T V,
     normalized."""
-    G = coeffs.T @ V
+    G = jnp.matmul(coeffs.T, V, precision=_HI)
     nrm = jnp.linalg.norm(G, axis=1, keepdims=True)
     return G / jnp.where(nrm > 0, nrm, 1.0)
 
@@ -77,7 +78,7 @@ def _restart_kernel(V, coeffs):
 def _ovlp_col_kernel(V, r, conj=True):
     """<v_j | r> (or the non-conjugated dot) for all stacked basis rows —
     one device dot."""
-    return (V.conj() if conj else V) @ r
+    return jnp.matmul(V.conj() if conj else V, r, precision=_HI)
 
 
 def _row_proxies(V, nvec):
@@ -111,7 +112,8 @@ def _row_proxies(V, nvec):
 @jax.jit
 def _guess_block_kernel(op, G):
     """<g_i | H g_j> for stacked guesses G (k, n) — one device program."""
-    return G.conj() @ jax.vmap(op.matvec)(G).T
+    return jnp.matmul(G.conj(), jax.vmap(op.matvec)(G).T,
+                      precision=_HI)
 
 
 @jax.jit
@@ -119,10 +121,10 @@ def _restart_block_kernel(op, V, coeffs):
     """Fused restart: new normalized guesses G = coeffs^T V and their
     projected H block, returned together (one transfer for the block; G
     stays on device)."""
-    G = coeffs.T @ V
+    G = jnp.matmul(coeffs.T, V, precision=_HI)
     nrm = jnp.linalg.norm(G, axis=1, keepdims=True)
     G = G / jnp.where(nrm > 0, nrm, 1.0)
-    return G, G.conj() @ jax.vmap(op.matvec)(G).T
+    return G, jnp.matmul(G.conj(), jax.vmap(op.matvec)(G).T, precision=_HI)
 
 
 def fastLanczosDiagonalization(

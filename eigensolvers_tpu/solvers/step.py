@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.linear_solvers import (_gmres_fixed, _minres_fixed,
+from ..ops.linear_solvers import (_HI, _gmres_fixed, _minres_fixed,
                                   _resolve_precond, _shifted_matvec)
 
 
@@ -41,7 +41,10 @@ def block_krylov_step(op, V, nvec, seeds, sigma, rtol, maxiter=200,
     """One block-Lanczos Krylov step, fused.
 
     :param op: operator pytree (Hermitian)
-    :param V: (M, n) stacked basis buffer, rows >= nvec zero
+    :param V: (M, n) stacked basis buffer, rows >= nvec zero.  Valid rows
+        MUST be mutually orthonormal (the Krylov iteration maintains this
+        invariant); classical Gram-Schmidt projections against a
+        non-orthonormal set do not orthogonalize.
     :param nvec: number of valid rows in V (traced scalar)
     :param seeds: (nBlock, n) right-hand sides (the latest block vectors)
     :param sigma: shift (complex shifts require ``solver="gmres"`` and a
@@ -90,10 +93,15 @@ def block_krylov_step(op, V, nvec, seeds, sigma, rtol, maxiter=200,
     row_ids = jnp.arange(M)
     mask = (row_ids < nvec).astype(V.dtype)
     X = xs.astype(V.dtype)
+    # ALL matmuls pin HIGHEST precision: the TPU MXU's bf16-input default
+    # loses ~3 decimal digits, which the CholQR Gram cannot afford (its
+    # conditioning is the square of the basis conditioning; measured: the
+    # unpinned version converged on CPU but failed the headline accuracy
+    # gate on a v5e).
     for _ in range(2):                     # CGS2 against the existing basis
-        Hproj = (V.conj() @ X.T) * mask[:, None]   # one all-reduce
-        X = X - (V.T @ Hproj).T
-    G = X.conj() @ X.T                     # (nBlock, nBlock): one all-reduce
+        Hproj = jnp.matmul(V.conj(), X.T, precision=_HI) * mask[:, None]
+        X = X - jnp.matmul(V.T, Hproj, precision=_HI).T   # one all-reduce
+    G = jnp.matmul(X.conj(), X.T, precision=_HI)   # (nBlock, nBlock): one AR
 
     # masked Cholesky G = L L^H with lindep pivots skipped (replicated)
     L = jnp.zeros((nBlock, nBlock), V.dtype)
@@ -134,7 +142,8 @@ def block_krylov_step(op, V, nvec, seeds, sigma, rtol, maxiter=200,
     # column families through ONE stacked matmul (one all-reduce):
     # s_cols[i, j] = <v_j | w_i>, h_cols[i, j] = <v_j | H w_i>
     AV = jax.vmap(op.matvec)(newV)
-    C = Vwork.conj() @ jnp.concatenate([newV, AV], axis=0).T   # (M, 2*nBlock)
+    C = jnp.matmul(Vwork.conj(), jnp.concatenate([newV, AV], axis=0).T,
+                   precision=_HI)                              # (M, 2*nBlock)
     s_cols = C[:, :nBlock].T
     h_cols = C[:, nBlock:].T
     return KrylovStepResult(newV, h_cols, s_cols, resnorms, lindep_flags)
