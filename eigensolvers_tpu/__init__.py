@@ -40,6 +40,7 @@ from .ops.operators import (
 from .solvers.lanczos import inexactLanczosDiagonalization
 from .solvers.feast import feastDiagonalization
 from .solvers.chebyshev import chebyshevFilteredDiagonalization
+from .solvers.slicing import spectrumSlicingDiagonalization
 from .utils.subspace import (
     basisTransformation,
     diagonalizeHamiltonian,
@@ -91,6 +92,7 @@ __all__ = [
     "inexactLanczosDiagonalization",
     "feastDiagonalization",
     "chebyshevFilteredDiagonalization",
+    "spectrumSlicingDiagonalization",
     "basisTransformation",
     "diagonalizeHamiltonian",
     "eigenvalueResidual",

@@ -52,13 +52,23 @@ def pyrazine4_operator(N: int = 6, nel: int = 2, dtype=np.float64,
 
 def ch3cn_operator(N: int = 42, nModesCut: Optional[int] = None,
                    dtype=np.float64, term_chunk: Optional[int] = None,
-                   fuse: Optional[int] = None):
+                   fuse: Optional[int] = None, representation: str = "fbr"):
     """CH3CN 12-mode Hamiltonian SoP operator.
 
-    :param N: HO-DVR points per mode (production: 42; use small N and/or
-        ``nModesCut`` for dense-feasible testing)
+    :param N: HO-basis functions / DVR points per mode (production: 42; use
+        small N and/or ``nModesCut`` for dense-feasible testing)
     :param nModesCut: keep only the first k modes (terms touching dropped
         modes are removed) — a controlled truncation for testing
+    :param representation: "fbr" (default — truncated HO-basis matrices,
+        quadrature-exact polynomial integrals, immune to the polynomial PES
+        turnover) or "dvr" (Gauss-Hermite grid).  At N=42 the DVR grid
+        reaches the PES turnover region and the operator has collapsed
+        negative-energy states (measured: DMRG falls to -5.5e5 cm-1,
+        artifacts/ch3cn_production.jsonl "representation" rung) — the FBR
+        production ZPVE (9837.479) is the quadrature-exact value for this
+        PES; the reference's DVR-based 9837.4069 sits 0.07 cm-1 below it
+        (see examples/ch3cn_representation_2mode.py for the dense-feasible
+        quantification of the representation offset)
     :returns: (SumOfProductOperator, OpSpec, bases)
     """
     spec = parse_op_file(CH3CN_OP)
@@ -67,9 +77,7 @@ def ch3cn_operator(N: int = 42, nModesCut: Optional[int] = None,
         spec.terms = [t for t in spec.terms
                       if all(d < nModesCut for d in t.factors)]
         spec.mode_labels = spec.mode_labels[:nModesCut]
-    # FBR (Avila-Carrington): truncated HO-basis matrices, immune to the
-    # polynomial PES turnover that collapses wide-grid DVRs
-    bases = [Hermite(Hermite.getOptions(N=N, representation="fbr"))
+    bases = [Hermite(Hermite.getOptions(N=N, representation=representation))
              for _ in range(spec.nModes)]
     op = build_sop_operator(spec, bases, dtype=dtype, term_chunk=term_chunk,
                             fuse=fuse)
