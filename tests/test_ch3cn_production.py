@@ -62,3 +62,22 @@ def test_ch3cn_n14_rung_pins_recorded_zpve():
     assert abs(zpve - recorded["zpve_cm1"]) < 0.05, \
         (zpve, recorded["zpve_cm1"])
     assert abs(zpve - 9837.4069) < 0.2, zpve
+
+
+def test_representation_switch_fast():
+    """FBR vs DVR operator builds: on the benign 2-mode cut the
+    representations agree to ~1e-9 on the low spectrum (measured: identical
+    zpve, examples/ch3cn_representation_2mode.py) while the operator
+    matrices themselves differ (different quadrature of the anharmonic
+    terms)."""
+    from eigensolvers_tpu.models.molecules import ch3cn_operator
+
+    opF, _, _ = ch3cn_operator(N=10, nModesCut=2, representation="fbr")
+    opD, _, _ = ch3cn_operator(N=10, nModesCut=2, representation="dvr")
+    HF = np.asarray(opF.to_dense(), np.float64)
+    HD = np.asarray(opD.to_dense(), np.float64)
+    assert not np.allclose(HF, HD, atol=1e-10)   # genuinely different bases
+    evF = np.linalg.eigvalsh(HF)
+    evD = np.linalg.eigvalsh(HD)
+    # identical physical spectra on the benign cut (low states)
+    assert np.allclose(evF[:5], evD[:5], atol=1e-9)
