@@ -174,12 +174,17 @@ def _chain_time(chain_fn, x0, iters, inner):
 
 # -- phase 0: real-hardware smoke gate ----------------------------------------
 def bench_tpu_smoke():
-    """<60 s real-device smoke: (1) the Pallas block-ELL matvec under REAL
-    Mosaic lowering vs a host oracle (the CI suite can only run it in
-    interpret mode, tests/test_sparse.py), (2) one fused block_krylov_step,
-    (3) one split-complex batched J-MINRES contour solve.  Each asserts
-    numerics and emits a metric line, so every driver round records
-    on-hardware kernel evidence even when the long benches cannot run."""
+    """<60 s real-device smoke: (1) one fused block_krylov_step, (2) one
+    split-complex batched J-MINRES contour solve, (3) the Pallas block-ELL
+    matvec under REAL Mosaic lowering vs a host oracle (the CI suite can
+    only run it in interpret mode, tests/test_sparse.py).  Each asserts
+    numerics and emits a metric line AS IT COMPLETES, so every driver
+    round records on-hardware kernel evidence even when the long benches
+    cannot run.  Part ORDER is deliberate: the Mosaic AOT compile of the
+    Pallas kernel bypasses the persistent .jax_cache and costs 45-450 s
+    depending on tunnel/server load (measured spread), so it runs LAST —
+    an alarm mid-compile still leaves parts 1-2 captured by the
+    monitor."""
     import jax
     import jax.numpy as jnp
     from eigensolvers_tpu.ops.sparse import BSROperator
@@ -189,37 +194,9 @@ def bench_tpu_smoke():
     from eigensolvers_tpu.models.synthetic import known_spectrum_matrix
 
     plat = jax.devices()[0].platform
-
-    # 1) Pallas BSR matvec, small problem, host-oracle gate
-    n, B, nbpr = 2048, 128, 4
-    nrb = n // B
     rng = np.random.RandomState(0)
-    data = rng.rand(nrb, nbpr, B, B).astype(np.float32)
-    idx = np.stack([np.sort(rng.choice(nrb, nbpr, replace=False))
-                    for _ in range(nrb)]).astype(np.int32)
-    op = BSROperator(data, idx, n)
-    x = rng.rand(n).astype(np.float32)
-    y_ref = np.zeros(n, np.float64)
-    for r in range(nrb):
-        for j in range(nbpr):
-            c = int(idx[r, j])
-            y_ref[r * B:(r + 1) * B] += \
-                data[r, j].astype(np.float64) @ x[c * B:(c + 1) * B]
-    # ONE fetch per smoke part (the degraded-tunnel mode is per-RPC
-    # latency of tens of seconds, so the smoke must be fetch-lean): the
-    # timing is compile-inclusive — its job is numerics evidence, and the
-    # persisted .jax_cache keeps the compile term small on later rounds.
-    xd = jnp.asarray(x)
-    t0 = time.perf_counter()
-    y = np.asarray(op.matvec(xd))
-    dt = time.perf_counter() - t0
-    err = float(np.abs(y - y_ref).max() / np.abs(y_ref).max())
-    assert err < 3e-5, f"BSR smoke precision: rel err {err:.2e}"
-    emit("tpu_smoke_bsr_matvec", dt * 1e3, "ms", 1.0, rel_err=err,
-         platform=plat, note="Pallas block-ELL matvec, real lowering, "
-                             "host-oracle gated; compile-inclusive")
 
-    # 2) fused block-Krylov step (the framework's "training step")
+    # 1) fused block-Krylov step (the framework's "training step")
     ns = 512
     H, ev = known_spectrum_matrix(ns, eigenvalues=np.linspace(1, 100, ns),
                                   seed=4, dtype=np.float32)
@@ -244,7 +221,7 @@ def bench_tpu_smoke():
     emit("tpu_smoke_krylov_step", dt * 1e3, "ms", 1.0, platform=plat,
          note="fused solves+CGS2+S/H columns, one XLA program")
 
-    # 3) split-complex batched MINRES (the FEAST contour-solve kernel)
+    # 2) split-complex batched MINRES (the FEAST contour-solve kernel)
     sig = np.array([30.0 + 2.0j, 50.0 + 1.0j, 70.0 + 4.0j, 90.0 + 2.5j])
     Bs = rng.rand(4, ns).astype(np.float32)
     t0 = time.perf_counter()
@@ -263,6 +240,36 @@ def bench_tpu_smoke():
          platform=plat,
          note="J-symmetrized real-block MINRES, 4 complex shifts, "
               "host-residual gated")
+
+    # 3) Pallas BSR matvec, small problem, host-oracle gate — LAST: its
+    # Mosaic AOT compile bypasses the persistent cache (45-450 s spread
+    # through the remote tunnel); parts 1-2 are already emitted if the
+    # alarm lands mid-compile.
+    n, B, nbpr = 2048, 128, 4
+    nrb = n // B
+    data = rng.rand(nrb, nbpr, B, B).astype(np.float32)
+    idx = np.stack([np.sort(rng.choice(nrb, nbpr, replace=False))
+                    for _ in range(nrb)]).astype(np.int32)
+    op = BSROperator(data, idx, n)
+    x = rng.rand(n).astype(np.float32)
+    y_ref = np.zeros(n, np.float64)
+    for r in range(nrb):
+        for j in range(nbpr):
+            c = int(idx[r, j])
+            y_ref[r * B:(r + 1) * B] += \
+                data[r, j].astype(np.float64) @ x[c * B:(c + 1) * B]
+    # ONE fetch per smoke part (the degraded-tunnel mode is per-RPC
+    # latency of tens of seconds, so the smoke must be fetch-lean): the
+    # timing is compile-inclusive — its job is numerics evidence.
+    xd = jnp.asarray(x)
+    t0 = time.perf_counter()
+    y = np.asarray(op.matvec(xd))
+    dt = time.perf_counter() - t0
+    err = float(np.abs(y - y_ref).max() / np.abs(y_ref).max())
+    assert err < 3e-5, f"BSR smoke precision: rel err {err:.2e}"
+    emit("tpu_smoke_bsr_matvec", dt * 1e3, "ms", 1.0, rel_err=err,
+         platform=plat, note="Pallas block-ELL matvec, real lowering, "
+                             "host-oracle gated; compile-inclusive")
 
 
 # -- metric 1+2: block-ELL SpMV / SpMM ---------------------------------------
@@ -1122,6 +1129,31 @@ def main(only=None):
     return 0 if metrics else 1
 
 
+def _warm_main() -> int:
+    """Warm the persistent compile cache: run every TPU bench in its own
+    child with a no-pressure alarm so each XLA program compiles to
+    completion and persists to .jax_cache.  The remote-tunnel compile of
+    the Pallas matvec alone costs ~450 s cold; a budgeted bench run
+    CANNOT absorb that, so a cold cache starves the whole evidence
+    channel (rounds 2-3 failure mode).  Run this after anything that may
+    have invalidated the cache; a SIGALRM/SIGKILL mid-compile writes no
+    entry, so interrupted runs leave the cache cold."""
+    rc = 0
+    for name, _, _, needs_tpu in BENCH_SPECS:
+        if not needs_tpu:
+            continue
+        _log(f"# warming {name}")
+        t0 = time.time()
+        p = _spawn(["--child", f"{name}:1700"])
+        try:
+            p.communicate(timeout=1800)
+        except Exception:
+            _kill(p)
+            rc = 1
+        _log(f"# {name}: rc={p.returncode} {time.time() - t0:.0f}s")
+    return rc
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         dl = float(sys.argv[4]) if len(sys.argv) > 4 \
@@ -1129,6 +1161,8 @@ if __name__ == "__main__":
         sys.exit(_child_main(sys.argv[2], deadline=dl))
     if len(sys.argv) > 1 and sys.argv[1] == "--probe":
         sys.exit(_probe_main())
+    if len(sys.argv) > 1 and sys.argv[1] == "--warm":
+        sys.exit(_warm_main())
     if len(sys.argv) > 1 and sys.argv[1] == "--only":
         sys.exit(main(only=set(sys.argv[2].split(","))))
     sys.exit(main())
