@@ -217,6 +217,7 @@ def spectrumSlicingDiagonalization(
         m0_margin: float = 0.5, m0_min: int = 4, m0_max: int = 64,
         degree: int = 300, nProbes: int = 8, bounds=None,
         options: Optional[dict] = None, seed: int = 0,
+        vector_cls=None,
         writeOut: bool = False, status: Optional[dict] = None,
         **feast_kwargs):
     """Compute ALL eigenpairs of the Hermitian ``A`` in [eMin, eMax] by
@@ -256,6 +257,11 @@ def spectrumSlicingDiagonalization(
     :param degree, nProbes, bounds: KPM moment parameters
     :param options: vector options dict for the window guesses (solver
         settings; reference-style nested dict, numpyVector.py:29-36)
+    :param vector_cls: guess-vector class, default `JaxVector`; pass
+        `ShardedVector` (with its default mesh set) to run every window's
+        contour solves, subspace algebra, and the polish mesh-parallel —
+        the whole sweep then distributes with no other change (GSPMD
+        propagation from the pinned guess shardings)
     :returns: (ev sorted ascending, vectors in the same order, status) —
         status carries per-window substatuses, count estimates, and the
         (a, b) spectral bounds used
@@ -264,6 +270,9 @@ def spectrumSlicingDiagonalization(
 
     from ..vectors.dense import JaxVector
     from .feast import feastDiagonalization
+
+    if vector_cls is None:
+        vector_cls = JaxVector
 
     n = int(A.shape[0])
     mu, (a, b) = chebyshev_moments(A, n, degree=degree, nProbes=nProbes,
@@ -295,7 +304,7 @@ def spectrumSlicingDiagonalization(
         m0 = int(np.clip(math.ceil(est * (1.0 + m0_margin)) + 1,
                          m0_min, m0_max))
         Y0 = sla.qr(rng.rand(n, m0), mode="economic")[0]
-        Y = [JaxVector(Y0[:, i], opts) for i in range(m0)]
+        Y = [vector_cls(Y0[:, i], opts) for i in range(m0)]
         ev_w, uv_w, st_w = feastDiagonalization(
             A, Y, nc, quad, clo, chi, eConv, maxit,
             writeOut=writeOut, **feast_kwargs)

@@ -105,3 +105,36 @@ def test_explicit_windows_and_status(problem):
     assert len(st["windows"]) == 2
     assert np.allclose(ev_s, exact, atol=1e-4)
     assert st["estimated_total"] == pytest.approx(len(exact), rel=0.3)
+
+
+def test_sharded_slicing_matches_dense():
+    """The whole slicing sweep mesh-parallel (vector_cls=ShardedVector over
+    the 8-device CPU mesh) reproduces the dense-backend eigenvalues — the
+    multi-device capability the reference never had (SURVEY.md §2.4)."""
+    import jax
+
+    from eigensolvers_tpu.parallel import (ShardedVector, make_mesh,
+                                           shard_operator)
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    n = 240
+    H, ev = known_spectrum_matrix(n, eigenvalues=np.linspace(1, 2 * n, n),
+                                  seed=10)
+    H = np.asarray(H)
+    eMin, eMax = 100.5, 140.5
+    exact = ev[(ev >= eMin) & (ev <= eMax)]
+
+    mesh = make_mesh(batch=1, shard=8)
+    ShardedVector.set_default_mesh(mesh)
+    try:
+        Hsh = shard_operator(H, mesh)
+        ev_s, vec_s, st = spectrumSlicingDiagonalization(
+            Hsh, eMin, eMax, nWindows=2, nc=8, eConv=1e-8, maxit=12,
+            degree=300, nProbes=8, seed=7, vector_cls=ShardedVector)
+    finally:
+        ShardedVector.set_default_mesh(None)
+    assert st["found_total"] == len(exact), \
+        (st["found_total"], len(exact))
+    assert np.allclose(ev_s, exact, atol=1e-6)
+    assert st["residuals"].max() < 1e-5
+    assert isinstance(vec_s[0], ShardedVector)
