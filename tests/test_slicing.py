@@ -138,3 +138,22 @@ def test_sharded_slicing_matches_dense():
     assert np.allclose(ev_s, exact, atol=1e-6)
     assert st["residuals"].max() < 1e-5
     assert isinstance(vec_s[0], ShardedVector)
+
+
+def test_spectral_density_cdf(problem, moments):
+    """KPM cumulative density: monotone, ~0 at the bottom, ~n at the top."""
+    from eigensolvers_tpu.solvers.slicing import estimate_spectral_density
+
+    H, ev, n = problem
+    mu, a, b = moments
+    xs, cdf = estimate_spectral_density(mu, a, b, n, nGrid=100)
+    assert xs.shape == cdf.shape == (100,)
+    assert np.all(np.diff(cdf) >= 0)
+    assert cdf[0] < 0.05 * n
+    assert abs(cdf[-1] - n) < 0.05 * n
+    # mid-spectrum: CDF tracks the exact counting function
+    mid = n // 2
+    x_mid = ev[mid]
+    k = int(np.searchsorted(xs, x_mid))
+    if 0 < k < len(xs):
+        assert abs(cdf[k] - mid) < 0.08 * n
