@@ -37,7 +37,10 @@ def test_ch3cn_n14_rung_pins_recorded_zpve():
     recorded = None
     for line in open(ledger):
         d = json.loads(line)
-        if d["N"] == 14 and d.get("topology") != "tree":
+        # ladder rungs only — the ledger also carries maxd_ladder /
+        # representation records with different schemas
+        if (d.get("N") == 14 and d.get("topology") != "tree"
+                and d.get("kind") is None):
             recorded = d
     assert recorded is not None
 
