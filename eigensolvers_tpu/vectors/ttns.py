@@ -299,6 +299,34 @@ def ttns_dense(topo: TreeTopology, ts: List[Array]) -> Array:
     return val[0][0]
 
 
+def ttns_embed_physical(tensors: List[Array], parts, n_old: int,
+                        n_new: int) -> List[Array]:
+    """Exact embedding of a TTNS between HO basis-set sizes: each physical
+    index of every (super-)mode zero-pads from ``n_old`` to ``n_new``.
+
+    Node tensors are ``(parent_bond, prod(n) over the node's modes,
+    child bonds)``; the physical axis is reshaped to per-mode indices,
+    padded per mode, and reshaped back — a flat pad of the product index
+    would scramble the ``(i, j) -> i*n + j`` fused-leaf encoding.
+
+    Used by the CH3CN production ladders (reference workflow context:
+    examples/ttns2_ch3cn.py:46-60 fixes N per rung; the ladder-with-exact-
+    embedding is our rung-to-rung seeding strategy, no reference
+    counterpart)."""
+    out = []
+    for t, p in zip(tensors, parts):
+        m = len(p)
+        if m == 0:
+            out.append(t.copy())
+            continue
+        head, tail = t.shape[0], t.shape[2:]
+        tt = t.reshape((head,) + (n_old,) * m + tail)
+        pad = [(0, 0)] + [(0, n_new - n_old)] * m + [(0, 0)] * len(tail)
+        tt = np.pad(tt, pad)
+        out.append(tt.reshape((head, n_new ** m) + tail))
+    return out
+
+
 # ----------------------------------------------------------------------------
 # TTNO — tree tensor network operator from stacked SoP factors
 # ----------------------------------------------------------------------------

@@ -1,0 +1,133 @@
+"""CH3CN production FEAST: contour window solve in the 2*nu8 overtone
+region on the reference's production tree at N=42.
+
+Mirrors the reference's FEAST TTNS production config exactly (reference:
+examples/feast_ttns2_ch3cn.py): window [zpve+720, zpve+730] cm-1, nc=6
+legendre half-contour, m0=4 random orthogonal tree guesses, MAX_D=3 for
+the contour solves with a maxD=20 fitting budget (reference
+bondAdaptFitting, feast_ttns2_ch3cn.py:99), eConv=1e-6, maxit=3.
+
+The window is placed relative to THIS framework's committed N-rung tree
+zpve (artifacts/ch3cn_production.jsonl) rather than the reference's
+9837.4069 — same physical window, cancelling basis error the same way the
+reference's zpve+E construction does.
+
+Run:  python examples/ch3cn_feast_production.py [N]      (default 42)
+Env:  CH3CN_FEAST_MAXD (3), CH3CN_FEAST_NC (6), CH3CN_FEAST_MAXIT (3),
+      CH3CN_FEAST_WINDOW ("720,730" in cm-1 above zpve)
+Artifact: appends {"kind": "feast_window", ...} to
+artifacts/ch3cn_production.jsonl.
+"""
+
+# allow running directly from a checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+ART = os.path.join(ROOT, "artifacts")
+LOG = os.path.join(ART, "ch3cn_production.jsonl")
+
+
+def _zpve_cm1(N):
+    if os.path.exists(LOG):
+        for line in open(LOG):
+            try:
+                d = json.loads(line)
+            except Exception:
+                continue
+            if d.get("topology") == "tree" and d.get("kind") is None \
+                    and int(d.get("N", -1)) == N:
+                return float(d["zpve_cm1"])
+    return None
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from eigensolvers_tpu import feastDiagonalization, select_within_range
+    from eigensolvers_tpu.models.molecules import ch3cn_tree_operator
+    from eigensolvers_tpu.utils.units import au2unit, unit2au
+    from eigensolvers_tpu.vectors.ttns import TTNSVector
+
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 42
+    maxD = int(os.environ.get("CH3CN_FEAST_MAXD", "3"))
+    NC = int(os.environ.get("CH3CN_FEAST_NC", "6"))
+    MAXIT = int(os.environ.get("CH3CN_FEAST_MAXIT", "3"))
+    win = os.environ.get("CH3CN_FEAST_WINDOW", "720,730")
+    e_lo_cm, e_hi_cm = (float(x) for x in win.split(","))
+    M0 = 4                     # reference N_SUBSPACE=4
+    ECONV = 1e-6               # reference eps
+    FIT_MAXD = 20              # reference bondAdaptFitting maxD=20
+    EPS = 5e-9                 # reference EPS
+    os.makedirs(ART, exist_ok=True)
+
+    zpve = _zpve_cm1(N)
+    assert zpve is not None, \
+        f"no committed tree zpve for N={N}; run ch3cn_tree_production first"
+
+    t0 = time.time()
+    op, topo, parts, _ = ch3cn_tree_operator(N=N)
+    print(f"# CH3CN tree N={N} operator built [{time.time() - t0:.0f}s]",
+          flush=True)
+
+    zpve_au = float(unit2au(zpve, "cm-1"))
+    eMin = float(unit2au(zpve + e_lo_cm, "cm-1"))
+    eMax = float(unit2au(zpve + e_hi_cm, "cm-1"))
+
+    # solves truncate at MAX_D; Q accumulation / basis transformation fit
+    # at the reference's larger fitting budget
+    opts = {"compressArgs": {"maxD": maxD, "eps": EPS},
+            "stateFittingArgs": {"maxD": FIT_MAXD, "eps": EPS},
+            "linearSystemArgs": {"method": "als", "nSweep": 4,
+                                 "convTol": 1e-4, "siteTol": 1e-5,
+                                 "linearIter": 150, "linear_tol": 1e-4,
+                                 "maxD": maxD, "eps": EPS}}
+    dims = [int(N ** len(p)) for p in parts]
+    Y = TTNSVector.orthogonalize(
+        [TTNSVector.random(topo, dims, maxD=maxD, options=opts, seed=20 + i)
+         for i in range(M0)])
+    assert len(Y) == M0
+
+    t1 = time.time()
+    ev, uv, status = feastDiagonalization(
+        op, Y, NC, "legendre", eMin, eMax, ECONV, MAXIT,
+        eShift=zpve_au, convertUnit="cm-1", writeOut=True,
+        outFileName=os.path.join(ART, f"iterations_ch3cn_feast_N{N}.out"),
+        summaryFileName=os.path.join(ART, f"summary_ch3cn_feast_N{N}.out"))
+    wall = time.time() - t1
+
+    got = np.sort(select_within_range(np.asarray(ev), eMin, eMax)[0])
+    got_cm = [round(float(au2unit(e, "cm-1")) - zpve, 4) for e in got]
+    all_cm = [round(float(au2unit(e, "cm-1")) - zpve, 4)
+              for e in np.sort(np.asarray(ev))]
+    rec = {"kind": "feast_window", "topology": "tree", "N": N,
+           "maxD": maxD, "fit_maxD": FIT_MAXD, "nc": NC, "m0": M0,
+           "maxit": MAXIT, "eConv": ECONV,
+           "window_cm1": [e_lo_cm, e_hi_cm], "zpve_cm1": zpve,
+           "in_window_cm1": got_cm, "all_ritz_cm1": all_cm,
+           "converged": bool(status.get("isConverged")),
+           "residual": float(status.get("residual", np.nan)),
+           "wall_s": round(wall, 1),
+           "state_maxD": int(max(v.maxD for v in uv))}
+    with open(LOG, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"# FEAST window [{e_lo_cm}, {e_hi_cm}] cm-1 above zpve at N={N}: "
+          f"found {got_cm} (all Ritz: {all_cm}) "
+          f"converged={rec['converged']} residual={rec['residual']:.2e} "
+          f"[{wall:.0f}s]", flush=True)
+    for i, ts in enumerate(uv[:len(got)]):
+        np.savez(os.path.join(ART, f"ch3cn_tree_feast_N{N}_s{i}.npz"),
+                 **{f"t{j}": t for j, t in enumerate(ts.tensors)})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

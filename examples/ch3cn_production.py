@@ -95,6 +95,9 @@ def main():
           f"cm-1 [{time.time() - t0:.0f}s]", flush=True)
 
     opts = {"compressArgs": {"maxD": maxD, "eps": 1e-10},
+            # final-fit budget: the reference fits at maxD=L*MAX_D
+            # (ttns2_ch3cn.py:37) — keeps returned Ritz vectors orthonormal
+            "stateFittingArgs": {"maxD": L * maxD, "eps": 1e-10},
             "linearSystemArgs": {"linearSolver": "minres", "method": "als",
                                  "nSweep": 2, "convTol": 1e-4,
                                  "siteTol": 1e-6, "linearIter": 120,
@@ -125,8 +128,15 @@ def main():
         Y0 = MPSVector(embed_mps(prev_tensors, N), opts).normalize()
         ckpt = os.path.join(ART, f"ch3cn_ckpt_N{N}")
         t2 = time.time()
+        # state-follow the embedded rung guess with maxOvlp (reference
+        # workflow: maxOvlp tracking after a DMRG early-stop guess,
+        # ttns2_ch3cn.py:107-113) — the tracked state cannot flip onto a
+        # different root between N rungs even if another eigenvalue drifts
+        # closer to sigma in the larger basis
+        from eigensolvers_tpu import get_pick_function_maxOvlp
         ev, uv, status = inexactLanczosDiagonalization(
             mpo_p, Y0, sigma, L=L, maxit=maxit, eConv=1e-6,
+            pick=get_pick_function_maxOvlp(Y0),
             writeOut=True, saveEachIteration=True, saveDir=ckpt,
             outFileName=os.path.join(ART, f"iterations_ch3cn_N{N}.out"),
             summaryFileName=os.path.join(ART, f"summary_ch3cn_N{N}.out"))

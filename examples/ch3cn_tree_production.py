@@ -39,24 +39,10 @@ LOG = os.path.join(ART, "ch3cn_production.jsonl")
 
 
 def embed_tree(tensors, parts, n_old, n_new):
-    """Exact embedding of a TTNS between HO basis-set sizes: each physical
-    index of every (super-)mode zero-pads from n_old to n_new.  Node
-    tensors are (parent_bond, prod(n) over the node's modes, child bonds);
-    the physical axis is reshaped to per-mode indices, padded per mode,
-    and reshaped back — a flat pad of the product index would scramble
-    the (i, j) -> i*n + j fused-leaf encoding."""
-    out = []
-    for t, p in zip(tensors, parts):
-        m = len(p)
-        if m == 0:
-            out.append(t.copy())
-            continue
-        head, tail = t.shape[0], t.shape[2:]
-        tt = t.reshape((head,) + (n_old,) * m + tail)
-        pad = [(0, 0)] + [(0, n_new - n_old)] * m + [(0, 0)] * len(tail)
-        tt = np.pad(tt, pad)
-        out.append(tt.reshape((head, n_new ** m) + tail))
-    return out
+    """Exact TTNS embedding between HO basis sizes (lives in the package:
+    eigensolvers_tpu.vectors.ttns.ttns_embed_physical)."""
+    from eigensolvers_tpu.vectors.ttns import ttns_embed_physical
+    return ttns_embed_physical(tensors, parts, n_old, n_new)
 
 
 def _done_rungs():

@@ -23,10 +23,18 @@ def test_dryrun_multichip_8():
 
 def test_weak_scaling_constant_collective_schedule():
     """The fused Krylov step's compiled collective count must not grow with
-    the mesh (one all-gather family for the row-sharded matvec operand +
-    all-reduces for dots/termination, independent of device count); the
-    assertion lives inside weak_scaling and fires on regression."""
+    the mesh, for EVERY operator type (dense row-sharded, CH3CN SoP, BSR);
+    the assertions (constancy, per-type static budget, attribution upper
+    bound) live inside weak_scaling and fire on regression."""
     import __graft_entry__ as ge
     report = ge.weak_scaling(4, rows_per_device=128, reps=1)
-    assert report[2]["all-reduce"] == report[4]["all-reduce"] > 0
-    assert report[2]["all-gather"] == report[4]["all-gather"]
+    dense = report["dense"]
+    assert dense[2]["all-reduce"] == dense[4]["all-reduce"] > 0
+    assert dense[2]["all-gather"] == dense[4]["all-gather"]
+    # attribution fields recorded from the compiled HLO + iteration count
+    assert dense[4]["n_collective_execs"] > 0
+    assert dense[4]["attributed_upper_ms"] > 0
+    for kind in ("sop", "bsr"):
+        rows = report[kind]
+        assert set(rows) == {2, 4}
+        assert sum(rows[4][k] for k in ge._COLLECTIVE_KINDS) > 0
