@@ -46,6 +46,11 @@ class ShardedVector(JaxVector):
 
     def __init__(self, array, options: Optional[dict] = None,
                  mesh: Optional[Mesh] = None):
+        if mesh is not None and not isinstance(mesh, Mesh):
+            raise TypeError(
+                f"mesh must be a jax.sharding.Mesh, got {type(mesh).__name__}"
+                " — note from_array(array, mesh=..., options=...) takes the"
+                " mesh BEFORE the options dict")
         arr = jnp.asarray(array)
         mesh = mesh or self._mesh_of(arr) or ShardedVector._default_mesh
         if mesh is None:

@@ -151,12 +151,17 @@ def ttns_random(topo: TreeTopology, dims: Sequence[int], maxD: int,
     (min of the two subtree dimensions across each bond)."""
     rng = np.random.RandomState(seed)
     L = len(topo)
-    n_total = int(np.prod(dims))
+    # python ints: np.prod overflows int64 at production sizes (42^12 ~
+    # 3e19), yielding NEGATIVE bond dims through n_total // sub[i]
+    n_total = 1
+    for d in dims:
+        n_total *= int(d)
     # subtree physical dimension per node
     sub = [1] * L
     for i in range(L - 1, -1, -1):
-        sub[i] = int(dims[i]) * int(np.prod([sub[c]
-                                             for c in topo.children[i]] or [1]))
+        sub[i] = int(dims[i])
+        for c in topo.children[i]:
+            sub[i] *= sub[c]
     bond = [1] * L   # bond[i] = dim of (i -> parent) bond; root keeps 1
     for i in range(1, L):
         bond[i] = int(min(maxD, sub[i], n_total // sub[i]))

@@ -152,13 +152,19 @@ def main():
         assert zpve is not None, \
             f"no tree zpve artifact for N={N}; run ch3cn_tree_production first"
 
-        guesses = [TTNSVector(ts, opts, topo=topo).normalize()
+        # ladder seeds live at the KRYLOV bond: the stored fitted states
+        # carry the L*maxD fit bond, and matrixRepresentation on a
+        # bond-100 tree guess materializes (100*opBond)^3 intermediates
+        # (measured: 130 GB OOM at N=24) — compress first, the Krylov
+        # iteration runs at maxD anyway
+        guesses = [TTNSVector(ts, opts, topo=topo).normalize().compress()
                    for ts in guess_tensors]
         if len(guesses) > 1:
             # embedding preserves orthogonality exactly, but the DMRG pair
             # is only orthogonal to its deflation tolerance — tidy it
             guesses = TTNSVector.orthogonalize(guesses)
             assert len(guesses) == nBlock, "guess set collapsed"
+        guesses = [g.normalize() for g in guesses]
 
         sigma = float(unit2au(zpve + TARGET_CM, "cm-1"))
         t2 = time.time()

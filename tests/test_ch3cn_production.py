@@ -50,6 +50,9 @@ def test_ch3cn_n14_rung_pins_recorded_zpve():
     mpo = MPO.from_sop_compressed(op)
 
     opts = {"compressArgs": {"maxD": 10, "eps": 1e-10},
+            # fit at the reference's production budget (ttns2_ch3cn.py:37,
+            # bondAdaptFit maxD=L*MAX_D) so the final S check passes
+            "stateFittingArgs": {"maxD": 30, "eps": 1e-10},
             "linearSystemArgs": {"linearSolver": "minres", "method": "als",
                                  "nSweep": 2, "convTol": 1e-4,
                                  "siteTol": 1e-6, "linearIter": 120,
@@ -57,9 +60,24 @@ def test_ch3cn_n14_rung_pins_recorded_zpve():
                                  "maxD": 10, "eps": 1e-10}}
     Y0 = MPSVector(tensors, opts).normalize()
     sigma = float(unit2au(recorded["zpve_cm1"], "cm-1"))
-    ev, uv, st = inexactLanczosDiagonalization(
-        mpo, Y0, sigma, L=3, maxit=1, eConv=1e-6, writeOut=False)
-    zpve = float(au2unit(find_nearest(ev, sigma)[1], "cm-1"))
+    # maxOvlp state-follow of the rung guess — the production ladder's
+    # tracking mode (r4 VERDICT next #9): the root cannot flip between
+    # rungs even if another eigenvalue drifts closer to sigma
+    from eigensolvers_tpu import get_pick_function_maxOvlp
+    import warnings as _warnings
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        ev, uv, st = inexactLanczosDiagonalization(
+            mpo, Y0, sigma, L=3, maxit=1, eConv=1e-6,
+            pick=get_pick_function_maxOvlp(Y0), checkFitTol=1e-4,
+            writeOut=False)
+    fit_alerts = [w for w in caught
+                  if "not properly fitted" in str(w.message)]
+    assert not fit_alerts, [str(w.message) for w in fit_alerts]
+    # maxOvlp puts the tracked state FIRST regardless of sigma distance
+    zpve = float(au2unit(ev[0], "cm-1"))
+    assert abs(zpve - float(au2unit(find_nearest(ev, sigma)[1], "cm-1"))) \
+        < 1e-6
     # pin against the recorded ladder value (itself +0.075 cm-1 off the
     # reference production value at this chain/maxD configuration)
     assert abs(zpve - recorded["zpve_cm1"]) < 0.05, \
