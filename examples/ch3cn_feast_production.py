@@ -86,7 +86,8 @@ def main():
     # at the reference's larger fitting budget
     opts = {"compressArgs": {"maxD": maxD, "eps": EPS},
             "stateFittingArgs": {"maxD": FIT_MAXD, "eps": EPS},
-            "linearSystemArgs": {"method": "als", "nSweep": 4,
+            "linearSystemArgs": {"method": "als",
+                                 "nSweep": int(os.environ.get("CH3CN_FEAST_NSWEEP", "2")),
                                  "convTol": 1e-4, "siteTol": 1e-5,
                                  "linearIter": 150, "linear_tol": 1e-4,
                                  "maxD": maxD, "eps": EPS}}

@@ -51,7 +51,8 @@ def _done_rungs():
         for line in open(LOG):
             try:
                 d = json.loads(line)
-                if d.get("topology") == "tree":
+                if d.get("topology") == "tree" and d.get("kind") is None \
+                        and not d.get("depth_confirm"):
                     rungs[int(d["N"])] = d
             except Exception:
                 continue
@@ -95,6 +96,9 @@ def main():
           f"[{time.time() - t0:.0f}s]", flush=True)
 
     opts = {"compressArgs": {"maxD": maxD, "eps": 1e-10},
+            # final-fit budget: the reference fits at maxD=L*MAX_D
+            # (ttns2_ch3cn.py:37)
+            "stateFittingArgs": {"maxD": L * maxD, "eps": 1e-10},
             "linearSystemArgs": {"linearSolver": "minres", "method": "als",
                                  "nSweep": 2, "convTol": 1e-4,
                                  "siteTol": 1e-6, "linearIter": 120,
@@ -109,8 +113,14 @@ def main():
             prev_N = N
             print(f"resuming tree ladder from completed N={N}", flush=True)
 
+    # CH3CN_DEPTH_CONFIRM=1: re-run completed rungs at the CURRENT L/maxit
+    # from their committed states — the "reference iteration depth" gate
+    # (the reference pins L=10, maxit=20; the original ladder rows were
+    # measured at L=4, maxit=2).  Appends a {"depth_confirm": true} row
+    # instead of skipping.
+    depth_confirm = os.environ.get("CH3CN_DEPTH_CONFIRM") == "1"
     for N in Ns:
-        if N in done:
+        if N in done and not depth_confirm:
             print(f"tree N={N}: already done "
                   f"(zpve {done[N]['zpve_cm1']:.4f} cm-1), skipping",
                   flush=True)
@@ -133,6 +143,7 @@ def main():
         zpve = float(au2unit(e_au, "cm-1"))
         rec = {"N": N, "topology": "tree", "maxD": maxD, "L": L,
                "maxit": maxit,
+               **({"depth_confirm": True} if depth_confirm else {}),
                "zpve_cm1": round(zpve, 4),
                "err_vs_ref_cm1": round(zpve - REF_ZPVE_CM1, 4),
                "ref_cm1": REF_ZPVE_CM1,

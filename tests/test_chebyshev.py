@@ -130,3 +130,31 @@ def test_compressed_backend_rejected():
 def test_bad_window_rejected():
     with pytest.raises(ValueError, match="inside"):
         chebyshev_window_coefficients(50, 0.0, 1.0, 0.5, 1.5)
+
+
+def test_fused_path_status_certificate(problem):
+    """The fused (writeOut=False) path must return per-state vector
+    residual certificates and a resolved adaptive degree in status."""
+    import scipy.linalg as la
+    from eigensolvers_tpu import (JaxVector, as_operator,
+                                  chebyshevFilteredDiagonalization,
+                                  select_within_range)
+
+    H, ev = problem["A"], problem["ev"]
+    eMin, eMax = problem["rmin"], problem["rmax"]
+    m0 = 8
+    truth = select_within_range(np.asarray(ev), eMin, eMax)[0]
+    rng = np.random.RandomState(3)
+    Yg = la.qr(rng.rand(H.shape[0], m0), mode="economic")[0]
+    Y = [JaxVector(Yg[:, i].astype(np.float32), {}) for i in range(m0)]
+    evC, vecs, st = chebyshevFilteredDiagonalization(
+        as_operator(np.asarray(H).astype(np.float32)), Y, None, eMin, eMax,
+        1e-6, 30, writeOut=False)
+    assert st["degree"] > 0
+    vres = np.asarray(st["vecResiduals"])
+    assert vres.shape == (m0,)
+    got = np.asarray(evC)
+    in_win = (got >= eMin) & (got <= eMax)
+    assert in_win.sum() >= len(truth)
+    # in-window states carry small certified residuals
+    assert float(vres[in_win].max()) < 1e-2 * max(abs(eMin), abs(eMax))

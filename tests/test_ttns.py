@@ -226,3 +226,20 @@ def test_feast_on_tree(topo, sop):
         vec = np.asarray(uv[idxT].to_dense()).ravel()
         vec = vec / np.linalg.norm(vec)
         assert abs(np.vdot(vec, uvE[:, idxE])) > 0.999
+
+
+def test_ttns_random_production_scale_bonds():
+    """Bond-dimension arithmetic must survive production dimension counts:
+    np.prod(dims) overflows int64 at 42^12 ~ 3e19 (regression: negative
+    bond dims through n_total // sub[i] crashed the production FEAST
+    guess construction)."""
+    from eigensolvers_tpu.vectors.ttns import ttns_random
+    from eigensolvers_tpu.models.molecules import ch3cn_tree
+
+    topo, parts = ch3cn_tree()
+    dims = [42 ** len(p) for p in parts]
+    ts = ttns_random(topo, dims, maxD=3, seed=1)
+    assert len(ts) == len(topo)
+    for t in ts:
+        assert all(d > 0 for d in t.shape), t.shape
+        assert t.shape[0] <= 3 or t.shape[0] == 1
