@@ -1,11 +1,21 @@
-"""CH3CN production FEAST: contour window solve in the 2*nu8 overtone
-region on the reference's production tree at N=42.
+"""CH3CN production FEAST: contour window solve over the nu8 (CCN bend)
+fundamental region on the reference's production tree.
 
-Mirrors the reference's FEAST TTNS production config exactly (reference:
-examples/feast_ttns2_ch3cn.py): window [zpve+720, zpve+730] cm-1, nc=6
-legendre half-contour, m0=4 random orthogonal tree guesses, MAX_D=3 for
-the contour solves with a maxD=20 fitting budget (reference
-bondAdaptFitting, feast_ttns2_ch3cn.py:99), eConv=1e-6, maxit=3.
+FEAST machine config mirrors the reference's FEAST TTNS production setup
+(reference: examples/feast_ttns2_ch3cn.py): nc=6 legendre half-contour,
+m0=4 random orthogonal complex tree guesses (reference seeds 20+i,
+setRandom(dtype=complex)), MAX_D=3 for the contour solves with a maxD=20
+fitting budget (reference bondAdaptFitting, feast_ttns2_ch3cn.py:99),
+eConv=1e-6, maxit=3, contour solves run to the reference's sweep
+convergence (convTol=1e-4 with early stop; reference optionsLinear
+nSweep=1000/convTol=1e-4) rather than a fixed tiny sweep count.
+
+The default window [zpve+350, zpve+372] cm-1 covers the doubly degenerate
+nu8 fundamental pair — the same states the flagship targeted-Lanczos run
+converges (artifacts: kind="excited"), giving an independent-algorithm
+cross-check at production scale.  The reference example's own window
+([720,730], the 2*nu8 overtone region) is available via
+CH3CN_FEAST_WINDOW=720,730.
 
 The window is placed relative to THIS framework's committed N-rung tree
 zpve (artifacts/ch3cn_production.jsonl) rather than the reference's
@@ -14,7 +24,8 @@ reference's zpve+E construction does.
 
 Run:  python examples/ch3cn_feast_production.py [N]      (default 42)
 Env:  CH3CN_FEAST_MAXD (3), CH3CN_FEAST_NC (6), CH3CN_FEAST_MAXIT (3),
-      CH3CN_FEAST_WINDOW ("720,730" in cm-1 above zpve)
+      CH3CN_FEAST_WINDOW ("350,372" in cm-1 above zpve),
+      CH3CN_FEAST_NSWEEP (30, early-stopped at convTol=1e-4)
 Artifact: appends {"kind": "feast_window", ...} to
 artifacts/ch3cn_production.jsonl.
 """
@@ -61,7 +72,7 @@ def main():
     maxD = int(os.environ.get("CH3CN_FEAST_MAXD", "3"))
     NC = int(os.environ.get("CH3CN_FEAST_NC", "6"))
     MAXIT = int(os.environ.get("CH3CN_FEAST_MAXIT", "3"))
-    win = os.environ.get("CH3CN_FEAST_WINDOW", "720,730")
+    win = os.environ.get("CH3CN_FEAST_WINDOW", "350,372")
     e_lo_cm, e_hi_cm = (float(x) for x in win.split(","))
     M0 = 4                     # reference N_SUBSPACE=4
     ECONV = 1e-6               # reference eps
@@ -86,15 +97,50 @@ def main():
     # at the reference's larger fitting budget
     opts = {"compressArgs": {"maxD": maxD, "eps": EPS},
             "stateFittingArgs": {"maxD": FIT_MAXD, "eps": EPS},
+            # reference optionsLinear: nSweep=1000, convTol=1e-4 (early
+            # stop), gcrotmk tol=1e-4/maxIter=1000 site solves — the
+            # contour solves must actually converge for the filter to
+            # form (nSweep=2 leaves the filtered subspace random)
             "linearSystemArgs": {"method": "als",
-                                 "nSweep": int(os.environ.get("CH3CN_FEAST_NSWEEP", "2")),
+                                 "nSweep": int(os.environ.get("CH3CN_FEAST_NSWEEP", "30")),
                                  "convTol": 1e-4, "siteTol": 1e-5,
                                  "linearIter": 150, "linear_tol": 1e-4,
                                  "maxD": maxD, "eps": EPS}}
     dims = [int(N ** len(p)) for p in parts]
-    Y = TTNSVector.orthogonalize(
-        [TTNSVector.random(topo, dims, maxD=maxD, options=opts, seed=20 + i)
-         for i in range(M0)])
+
+    # Guess design (deviation from the reference, documented): the
+    # reference seeds FEAST with 4 random complex trees
+    # (feast_ttns2_ch3cn.py:104-106).  At 42^12 dimensions a random
+    # maxD=3 tree carries ~1e-10 relative amplitude on the in-window nu8
+    # pair, and the maxD=3 inexact contour solves floor the per-iteration
+    # out-of-window suppression at ~1e-2 (measured,
+    # tools/diag_feast_filter.py) — random seeding cannot converge this
+    # window in maxit=3.  Instead the first two guesses are the BRIGHT
+    # basis states |...,x11=1,...> and |...,x12=1,...| (one quantum on the
+    # fused bend leaf — guess Rayleigh quotient lands ~170 cm-1 from the
+    # window; the filter then pulls it inside in one application), padded
+    # with random complex trees to m0=4 for spectral slack.  Seeding
+    # filter solvers with bright/zeroth-order states is the standard
+    # vibrational-spectroscopy workflow the reference's Lanczos examples
+    # themselves use (DMRG-guess seeding, ttns2_ch3cn.py:107-113).
+    bend = next(i for i, p in enumerate(parts) if p == [10, 11])
+
+    def product_state(excite_idx):
+        ts = []
+        for i in range(len(topo)):
+            shape = (1, int(dims[i])) + (1,) * len(topo.children[i])
+            t = np.zeros(shape, np.complex128)
+            phys = excite_idx if i == bend else 0
+            t[(0, phys) + (0,) * len(topo.children[i])] = 1.0
+            ts.append(t)
+        return ts
+
+    Y = [TTNSVector(product_state(1 * N), opts, topo=topo).normalize(),
+         TTNSVector(product_state(1), opts, topo=topo).normalize()]
+    Y += [TTNSVector.random(topo, dims, maxD=maxD, options=opts, seed=20 + i,
+                            dtype=np.complex128)
+          for i in range(M0 - len(Y))]
+    Y = TTNSVector.orthogonalize(Y)
     assert len(Y) == M0
 
     t1 = time.time()
