@@ -130,8 +130,15 @@ def main():
         print(f"tree N={N} operator built [{time.time() - t1:.0f}s]",
               flush=True)
 
-        Y0 = TTNSVector(embed_tree(prev_tensors, parts, prev_N, N), opts,
-                        topo=topo_p).normalize()
+        if depth_confirm and N in done and os.path.exists(_state_path(N)):
+            # re-converge this rung AT ITS OWN BASIS from its committed
+            # state (embedding only goes small -> large; the resume loop
+            # above may have advanced prev_N past this rung)
+            z = np.load(_state_path(N))
+            guess_tensors = [z[f"t{i}"] for i in range(len(topo))]
+        else:
+            guess_tensors = embed_tree(prev_tensors, parts, prev_N, N)
+        Y0 = TTNSVector(guess_tensors, opts, topo=topo_p).normalize()
         t2 = time.time()
         ev, uv, status = inexactLanczosDiagonalization(
             op_p, Y0, sigma, L=L, maxit=maxit, eConv=1e-6,
